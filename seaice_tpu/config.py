@@ -1,0 +1,163 @@
+"""Typed configuration tree.
+
+The TPU-native replacement for the reference's Registry.xml namelist records
+(`/root/reference/src/Registry.xml`): one frozen dataclass per namelist
+record, resolved at trace time (scheme selection happens in Python before
+jit, exactly as the reference selects schemes at init).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class ConstitutiveRelation(enum.Enum):
+    EVP = "evp"
+    EVP_REVISED = "evp_revised"
+    LINEAR = "linear"
+    NONE = "none"
+
+
+class StrainScheme(enum.Enum):
+    VARIATIONAL = "variational"
+    WEAK = "weak"
+
+
+class StressDivergenceScheme(enum.Enum):
+    VARIATIONAL = "variational"
+    WEAK = "weak"
+
+
+class VariationalBasis(enum.Enum):
+    WACHSPRESS = "wachspress"
+    PWL = "pwl"
+
+
+class VariationalDenominator(enum.Enum):
+    ORIGINAL = "original"      # areaTriangle
+    ALTERNATE = "alternate"    # sum of basisIntegralsMetric
+
+
+class OceanStressType(enum.Enum):
+    QUADRATIC = "quadratic"
+    LINEAR = "linear"
+
+
+class AdvectionType(enum.Enum):
+    INCREMENTAL_REMAP = "incremental_remap"
+    UPWIND = "upwind"
+    NONE = "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class VelocitySolverConfig:
+    """Reference nml_record 'velocity_solver' (Registry.xml:566-651)."""
+    use_velocity_solver: bool = True
+    dynamics_subcycle_number: int = 1
+    elastic_subcycle_number: int = 120
+    rotate_cartesian_grid: bool = True
+    include_metric_terms: bool = True
+    constitutive_relation: ConstitutiveRelation = ConstitutiveRelation.EVP
+    strain_scheme: StrainScheme = StrainScheme.VARIATIONAL
+    stress_divergence_scheme: StressDivergenceScheme = (
+        StressDivergenceScheme.VARIATIONAL)
+    variational_basis: VariationalBasis = VariationalBasis.WACHSPRESS
+    variational_denominator: VariationalDenominator = (
+        VariationalDenominator.ORIGINAL)
+    integration_type: str = "dunavant"   # 'trapezoidal' | 'dunavant' | 'fekete'
+    integration_order: int = 8
+    average_variational_strains: bool = False
+    calc_velocity_masks: bool = True
+    use_air_stress: bool = True
+    use_ocean_stress: bool = True
+    use_surface_tilt: bool = True
+    geostrophic_surface_tilt: bool = True
+    ocean_stress_type: OceanStressType = OceanStressType.QUADRATIC
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionConfig:
+    """Reference nml_record 'advection' (Registry.xml:650-676)."""
+    advection_type: AdvectionType = AdvectionType.INCREMENTAL_REMAP
+    monotonic: bool = True
+    conservation_check: bool = False
+    monotonicity_check: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ColumnConfig:
+    """Reference nml_records 'column_package' etc."""
+    use_column_package: bool = True
+    use_shortwave: bool = True
+    use_vertical_thermodynamics: bool = True
+    use_itd_thermodynamics: bool = True
+    use_ridging: bool = True
+    use_snow_tracers: bool = False
+    use_biogeochemistry: bool = False
+    # scheme selectors (reference ice_colpkg_shared.F90:20-150)
+    ktherm: int = 1                 # 0: zero-layer, 1: BL99, 2: mushy
+    shortwave: str = "ccsm3"        # 'ccsm3' | 'dEdd'
+    kstrength: int = 1              # 0: Hibler79, 1: Rothrock75
+    kitd: int = 1                   # 0: delta, 1: linear remap
+    kcatbound: int = 0
+    krdg_partic: int = 1
+    krdg_redist: int = 1
+    atmbndy: str = "default"
+    natmiter: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Core time/run settings (Registry.xml:317+)."""
+    dt: float = 3600.0              # coupling/thermodynamic timestep (s)
+    n_categories: int = 5
+    n_ice_layers: int = 7
+    n_snow_layers: int = 1
+    calendar: str = "noleap"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+    velocity: VelocitySolverConfig = dataclasses.field(
+        default_factory=VelocitySolverConfig)
+    advection: AdvectionConfig = dataclasses.field(
+        default_factory=AdvectionConfig)
+    column: ColumnConfig = dataclasses.field(default_factory=ColumnConfig)
+    use_forcing: bool = False
+
+    @property
+    def dynamics_timestep(self) -> float:
+        # reference: mpas_seaice_velocity_solver.F:155
+        return self.run.dt / self.velocity.dynamics_subcycle_number
+
+    @property
+    def elastic_timestep(self) -> float:
+        # reference: mpas_seaice_velocity_solver.F:157
+        return self.dynamics_timestep / self.velocity.elastic_subcycle_number
+
+    @property
+    def evp_damping_timescale(self) -> float:
+        # reference: mpas_seaice_velocity_solver_constitutive_relation.F:125
+        from . import constants
+        return constants.EVP_DAMPING_TIMESCALE_PARAMETER * self.dynamics_timestep
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def box_test_config(elastic_subcycles: int = 120) -> Config:
+    """Config for the planar EVP box test (no column physics, no transport)."""
+    return Config(
+        run=RunConfig(dt=600.0, n_categories=1),
+        velocity=VelocitySolverConfig(
+            elastic_subcycle_number=elastic_subcycles,
+            rotate_cartesian_grid=False,
+            include_metric_terms=False,
+            geostrophic_surface_tilt=False,
+        ),
+        advection=AdvectionConfig(advection_type=AdvectionType.NONE),
+        column=ColumnConfig(use_column_package=False),
+    )
