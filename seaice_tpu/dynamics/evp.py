@@ -1,0 +1,490 @@
+"""EVP velocity solver driver.
+
+The performance core: one jitted program per dynamics step covering the
+reference's pre-subcycle prep kernels, the ~120-iteration elastic subcycle
+loop (strain -> EVP stress -> stress divergence -> ocean-stress coefficient
+-> 2x2 implicit momentum solve), and the post-subcycle diagnostics
+(reference `mpas_seaice_velocity_solver.F:562-3700`). The subcycle loop is
+a `lax.fori_loop` so the whole solver compiles to a single XLA program with
+the working set resident on device — the TPU-native equivalent of the
+reference's OpenACC persistent data region (mesh_pool.F:145-172).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as c
+from ..config import (Config, ConstitutiveRelation, OceanStressType,
+                      StrainScheme, StressDivergenceScheme)
+from ..mesh.core import Mesh, MeshTensors, cell_to_vertex
+from ..utils.pytree import pytree_dataclass, replace
+from . import constitutive, variational
+
+
+@pytree_dataclass
+class DynamicsTensors:
+    """Static per-mesh tensors for the velocity solver (device arrays)."""
+    mesh: MeshTensors
+    basis_gradient_u: Any        # [nCells, maxEdges, maxEdges]
+    basis_gradient_v: Any
+    basis_integrals_u: Any       # [nCells, maxEdges, maxEdges]
+    basis_integrals_v: Any
+    basis_integrals_metric: Any
+    variational_denominator: Any  # [nVertices]
+    tan_lat_vertex: Any          # [nVertices] tan(lat)/r metric factor
+
+
+def build_dynamics_tensors(mesh: Mesh, cfg: Config,
+                           dtype=jnp.float32) -> DynamicsTensors:
+    """Init-time basis precompute + device upload
+    (reference seaice_init_velocity_solver, velocity_solver.F:85-386)."""
+    from ..ops.basis import compute_variational_basis
+
+    vb = compute_variational_basis(
+        mesh,
+        basis_type=cfg.velocity.variational_basis.value,
+        integration_type=cfg.velocity.integration_type,
+        integration_order=cfg.velocity.integration_order,
+        denominator_type=cfg.velocity.variational_denominator.value,
+        include_metric_terms=cfg.velocity.include_metric_terms,
+        rotate_cartesian_grid=cfg.velocity.rotate_cartesian_grid,
+    )
+    return DynamicsTensors(
+        mesh=mesh.tensors(dtype),
+        basis_gradient_u=jnp.asarray(vb.basis_gradient_u, dtype),
+        basis_gradient_v=jnp.asarray(vb.basis_gradient_v, dtype),
+        basis_integrals_u=jnp.asarray(vb.basis_integrals_u, dtype),
+        basis_integrals_v=jnp.asarray(vb.basis_integrals_v, dtype),
+        basis_integrals_metric=jnp.asarray(vb.basis_integrals_metric, dtype),
+        variational_denominator=jnp.asarray(vb.variational_denominator,
+                                            dtype),
+        tan_lat_vertex=jnp.asarray(vb.tan_lat_vertex_over_radius, dtype),
+    )
+
+
+@pytree_dataclass
+class VelocitySolverState:
+    """Prognostic state of the velocity solver."""
+    u_velocity: Any              # [nVertices]
+    v_velocity: Any              # [nVertices]
+    stress11: Any                # [nCells, maxEdges] corner stresses
+    stress22: Any
+    stress12: Any
+    solve_velocity_prev: Any     # [nVertices] mask from previous step
+
+
+def init_velocity_state(mesh: Mesh, dtype=jnp.float32) -> VelocitySolverState:
+    nv, nc, me = mesh.n_vertices, mesh.n_cells, mesh.max_edges
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    return VelocitySolverState(
+        u_velocity=z((nv,)), v_velocity=z((nv,)),
+        stress11=z((nc, me)), stress22=z((nc, me)), stress12=z((nc, me)),
+        solve_velocity_prev=z((nv,)),
+    )
+
+
+@pytree_dataclass
+class DynamicsForcing:
+    """External forcing fields for one dynamics step (cell-centered unless
+    noted)."""
+    u_air_velocity: Any          # [nCells]
+    v_air_velocity: Any
+    air_density: Any             # [nCells]
+    u_ocean_velocity: Any        # [nCells]
+    v_ocean_velocity: Any
+    sea_surface_tilt_u: Any      # [nCells]
+    sea_surface_tilt_v: Any
+    land_ice_mask: Any           # [nCells] float {0,1}
+
+
+def zero_forcing(mesh: Mesh, dtype=jnp.float32) -> DynamicsForcing:
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    nc = mesh.n_cells
+    return DynamicsForcing(
+        u_air_velocity=z((nc,)), v_air_velocity=z((nc,)),
+        air_density=jnp.full((nc,), c.DENSITY_AIR, dtype),
+        u_ocean_velocity=z((nc,)), v_ocean_velocity=z((nc,)),
+        sea_surface_tilt_u=z((nc,)), sea_surface_tilt_v=z((nc,)),
+        land_ice_mask=z((nc,)),
+    )
+
+
+@pytree_dataclass
+class IceMassState:
+    """Aggregate mass/area fields entering the momentum solve."""
+    ice_area_cell: Any           # [nCells] fractional area
+    ice_volume_cell: Any         # [nCells] m
+    snow_volume_cell: Any        # [nCells] m
+    open_water_area: Any         # [nCells]
+
+
+def aggregate_mass(ice_area_cat, ice_volume_cat, snow_volume_cat):
+    """Category aggregation (reference velocity_solver.F:685-752).
+    Inputs [nCells, nCategories]."""
+    area = ice_area_cat.sum(axis=1)
+    vol = ice_volume_cat.sum(axis=1)
+    snow = snow_volume_cat.sum(axis=1)
+    return IceMassState(
+        ice_area_cell=area, ice_volume_cell=vol, snow_volume_cell=snow,
+        open_water_area=jnp.maximum(1.0 - area, 0.0))
+
+
+# -- pre-subcycle prep kernels ------------------------------------------------
+
+def _computation_masks(mass: IceMassState, forcing: DynamicsForcing,
+                       dyn: DynamicsTensors):
+    """solveStress (cells) and solveVelocity (vertices) masks
+    (reference velocity_solver.F:961-1150)."""
+    mesh = dyn.mesh
+    total_mass = (mass.ice_volume_cell * c.DENSITY_ICE +
+                  mass.snow_volume_cell * c.DENSITY_SNOW)
+    has_ice = ((mass.ice_area_cell > c.ICE_AREA_MINIMUM) &
+               (total_mass > c.ICE_MASS_MINIMUM) &
+               (forcing.land_ice_mask == 0)).astype(total_mass.dtype)
+
+    # a cell solves stress if it or any neighbor has ice
+    neigh = has_ice[mesh.cells_on_cell] * mesh.cells_on_cell_mask
+    solve_stress = jnp.maximum(has_ice, neigh.max(axis=1))
+
+    area_vertex = cell_to_vertex(mesh, mass.ice_area_cell)
+    mass_vertex = cell_to_vertex(mesh, total_mass)
+    land_vertex = cell_to_vertex(mesh, forcing.land_ice_mask)
+    solve_velocity = (
+        (mesh.interior_vertex > 0) &
+        (land_vertex == 0) &
+        (area_vertex > c.ICE_AREA_MINIMUM) &
+        (mass_vertex > c.ICE_MASS_MINIMUM)).astype(total_mass.dtype)
+    return solve_stress, solve_velocity, total_mass, mass_vertex, area_vertex
+
+
+def _ice_strength_hibler(mass: IceMassState, solve_stress):
+    """Hibler (1979) P = P* h exp(-C (1-a))
+    (reference velocity_solver.F:1422-1435)."""
+    p = (c.ICE_STRENGTH_HIBLER_P * mass.ice_volume_cell *
+         jnp.exp(-c.ICE_STRENGTH_HIBLER_C * (1.0 - mass.ice_area_cell)))
+    return jnp.where(solve_stress > 0, p, 0.0)
+
+
+def _air_stress(forcing: DynamicsForcing, mass: IceMassState,
+                dyn: DynamicsTensors, use_air_stress: bool):
+    """Constant-coefficient quadratic air drag, interpolated to vertices
+    (reference velocity_solver.F:1665-1728)."""
+    if not use_air_stress:
+        nv = dyn.mesh.n_vertices
+        z = jnp.zeros((nv,), forcing.u_air_velocity.dtype)
+        return z, z
+    wind = jnp.sqrt(forcing.u_air_velocity ** 2 +
+                    forcing.v_air_velocity ** 2)
+    coeff = forcing.air_density * wind * c.AIR_STRESS_COEFF * \
+        mass.ice_area_cell
+    tau_u = coeff * forcing.u_air_velocity
+    tau_v = coeff * forcing.v_air_velocity
+    return (cell_to_vertex(dyn.mesh, tau_u),
+            cell_to_vertex(dyn.mesh, tau_v))
+
+
+# -- solver -------------------------------------------------------------------
+
+def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
+                         halo_exchange_vertex=None,
+                         min_dv_edge: float = None):
+    """Build the dynamics-step function.
+
+    The returned step takes the DynamicsTensors as its first ARGUMENT (not
+    a closure) so jit traces the mesh/basis tensors as inputs rather than
+    folding them into the program as constants — constant-embedding blows
+    compile time up by two orders of magnitude and breaks the persistent
+    compilation cache.
+
+    halo_exchange_vertex: optional callable (u, v) -> (u, v) run after each
+    velocity update — identity on a single device, a collective under
+    shard_map.
+    min_dv_edge: global minimum edge length (needed for revised EVP; the
+    reference computes it with an MPI min-reduction at init,
+    constitutive_relation.F:133-162).
+    dyn: optional; if given, returns a convenience wrapper with dyn bound
+    via partial application of the first argument (still traced).
+
+    Returns step(dyn, state, forcing, ice_area_cat, ice_volume_cat,
+                 snow_volume_cat) -> (state, diagnostics dict).
+    """
+    v_cfg = cfg.velocity
+    dt_e = cfg.elastic_timestep
+    dt_dyn = cfg.dynamics_timestep
+    damping_t = cfg.evp_damping_timescale
+    relation = v_cfg.constitutive_relation
+
+    if v_cfg.strain_scheme != StrainScheme.VARIATIONAL or \
+            v_cfg.stress_divergence_scheme != \
+            StressDivergenceScheme.VARIATIONAL:
+        raise NotImplementedError(
+            "weak scheme not yet implemented; use variational")
+
+    if halo_exchange_vertex is None:
+        def halo_exchange_vertex(u, v):
+            return u, v
+
+    def internal_stress(dyn, u, v, s11, s22, s12, pressure, solve_stress_c):
+        mesh = dyn.mesh
+        """One stress evaluation: strain -> constitutive -> divergence
+        (reference seaice_internal_stress, velocity_solver.F:2606-2863)."""
+        e11, e22, e12 = variational.strain_tensor(
+            u, v, dyn.tan_lat_vertex, mesh,
+            dyn.basis_gradient_u, dyn.basis_gradient_v)
+        if v_cfg.average_variational_strains:
+            e11, e22, e12 = variational.average_strains(e11, e22, e12, mesh)
+
+        ss = solve_stress_c[:, None]
+        if relation == ConstitutiveRelation.EVP:
+            s11n, s22n, s12n, rp = constitutive.evp_stress_update(
+                s11, s22, s12, e11, e22, e12, pressure[:, None],
+                dt_e, damping_t)
+        elif relation == ConstitutiveRelation.EVP_REVISED:
+            s11n, s22n, s12n, rp = constitutive.evp_stress_update_revised(
+                s11, s22, s12, e11, e22, e12, pressure[:, None])
+        elif relation == ConstitutiveRelation.LINEAR:
+            s11n, s22n, s12n = constitutive.linear_stress(e11, e22, e12)
+            rp = jnp.zeros_like(s11n)
+        else:  # NONE
+            s11n, s22n, s12n, rp = s11, s22, s12, jnp.zeros_like(s11)
+        s11 = jnp.where(ss > 0, s11n, s11)
+        s22 = jnp.where(ss > 0, s22n, s22)
+        s12 = jnp.where(ss > 0, s12n, s12)
+        return (s11, s22, s12, e11, e22, e12, rp)
+
+    def ocean_stress_coefficient(u, v, uo_v, vo_v, area_vertex,
+                                 solve_velocity):
+        """(reference velocity_solver.F:2986-3082)"""
+        if not v_cfg.use_ocean_stress:
+            return jnp.zeros_like(u)
+        if v_cfg.ocean_stress_type == OceanStressType.QUADRATIC:
+            coeff = (c.ICE_OCEAN_DRAG * c.DENSITY_SEAWATER * area_vertex *
+                     jnp.sqrt((uo_v - u) ** 2 + (vo_v - v) ** 2))
+        else:
+            coeff = c.ICE_OCEAN_DRAG * c.DENSITY_SEAWATER * area_vertex
+        return jnp.where(solve_velocity > 0, coeff, 0.0)
+
+    def solve_velocity_evp(u, v, mass_vertex, mass_f, div_u, div_v,
+                           air_u, air_v, tilt_u, tilt_v,
+                           ocean_u, ocean_v, ocean_coeff, solve_velocity):
+        """2x2 implicit point solve (reference velocity_solver.F:3096-3208)."""
+        sgn = jnp.sign(mass_f)
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        a11 = mass_vertex / dt_e + \
+            ocean_coeff * c.COS_OCEAN_TURNING_ANGLE
+        a12 = -mass_f - ocean_coeff * c.SIN_OCEAN_TURNING_ANGLE * sgn
+        a21 = mass_f + ocean_coeff * c.SIN_OCEAN_TURNING_ANGLE * sgn
+        a22 = a11
+        rhs1 = div_u + air_u + tilt_u + ocean_coeff * ocean_u + \
+            mass_vertex * u / dt_e
+        rhs2 = div_v + air_v + tilt_v + ocean_coeff * ocean_v + \
+            mass_vertex * v / dt_e
+        det = a11 * a22 - a12 * a21
+        det = jnp.where(det == 0, 1.0, det)
+        u_new = (a22 * rhs1 - a12 * rhs2) / det
+        v_new = (a11 * rhs2 - a21 * rhs1) / det
+        u = jnp.where(solve_velocity > 0, u_new, u)
+        v = jnp.where(solve_velocity > 0, v_new, v)
+        return u, v
+
+    def solve_velocity_revised_evp(u, v, u_init, v_init, mass_vertex, mass_f,
+                                   div_u, div_v, air_u, air_v, tilt_u, tilt_v,
+                                   ocean_u, ocean_v, ocean_coeff,
+                                   solve_velocity, brlx):
+        """Revised-EVP point solve (reference velocity_solver.F:3222-3358)."""
+        sgn = jnp.sign(mass_f)
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        a11 = (brlx + 1.0) * mass_vertex / dt_dyn + \
+            ocean_coeff * c.COS_OCEAN_TURNING_ANGLE
+        a12 = -mass_f - ocean_coeff * c.SIN_OCEAN_TURNING_ANGLE * sgn
+        a21 = -a12
+        a22 = a11
+        rhs1 = div_u + air_u + tilt_u + ocean_coeff * ocean_u + \
+            mass_vertex * (brlx * u + u_init) / dt_dyn
+        rhs2 = div_v + air_v + tilt_v + ocean_coeff * ocean_v + \
+            mass_vertex * (brlx * v + v_init) / dt_dyn
+        det = a11 * a22 - a12 * a21
+        det = jnp.where(det == 0, 1.0, det)
+        u_new = (a22 * rhs1 - a12 * rhs2) / det
+        v_new = (a11 * rhs2 - a21 * rhs1) / det
+        u = jnp.where(solve_velocity > 0, u_new, u)
+        v = jnp.where(solve_velocity > 0, v_new, v)
+        return u, v
+
+    def step(dyn: DynamicsTensors, state: VelocitySolverState,
+             forcing: DynamicsForcing,
+             ice_area_cat, ice_volume_cat, snow_volume_cat,
+             pressure_in: Optional[Any] = None):
+        """One dynamics step of the velocity solver.
+
+        pressure_in: optional externally computed ice strength [nCells]
+        (from the column package); default Hibler.
+        """
+        mesh = dyn.mesh
+        dtype = state.u_velocity.dtype
+
+        # --- pre-subcycle (reference velocity_solver.F:613-671) ---
+        mass = aggregate_mass(ice_area_cat, ice_volume_cat, snow_volume_cat)
+        (solve_stress, solve_velocity, total_mass, mass_vertex,
+         area_vertex) = _computation_masks(mass, forcing, dyn)
+
+        # new-ice velocities (reference :1164-1327)
+        uo_v = cell_to_vertex(mesh, forcing.u_ocean_velocity)
+        vo_v = cell_to_vertex(mesh, forcing.v_ocean_velocity)
+        is_new = (solve_velocity > 0) & (state.solve_velocity_prev == 0)
+        u = jnp.where(is_new, uo_v, state.u_velocity)
+        v = jnp.where(is_new, vo_v, state.v_velocity)
+        u = jnp.where(solve_velocity > 0, u, 0.0)
+        v = jnp.where(solve_velocity > 0, v, 0.0)
+        u_init, v_init = u, v
+
+        # ice strength (reference :1341-1508)
+        if pressure_in is None:
+            pressure = _ice_strength_hibler(mass, solve_stress)
+        else:
+            pressure = jnp.where(solve_stress > 0, pressure_in, 0.0)
+
+        # air stress (reference :1522-1651)
+        air_u, air_v = _air_stress(forcing, mass, dyn, v_cfg.use_air_stress)
+
+        # coriolis coefficient (reference :1742-1788)
+        mass_f = mass_vertex * mesh.f_vertex
+
+        # ocean stress rotation (reference :1802-1883)
+        if v_cfg.use_ocean_stress:
+            sgn_f = jnp.sign(mesh.f_vertex)
+            sgn_f = jnp.where(sgn_f == 0, 1.0, sgn_f)
+            ocean_u = jnp.where(
+                solve_velocity > 0,
+                uo_v * c.COS_OCEAN_TURNING_ANGLE -
+                vo_v * c.SIN_OCEAN_TURNING_ANGLE * sgn_f, 0.0)
+            ocean_v = jnp.where(
+                solve_velocity > 0,
+                uo_v * c.SIN_OCEAN_TURNING_ANGLE * sgn_f +
+                vo_v * c.COS_OCEAN_TURNING_ANGLE, 0.0)
+        else:
+            ocean_u = jnp.zeros_like(u)
+            ocean_v = jnp.zeros_like(v)
+
+        # surface tilt (reference :1897-2213)
+        if not v_cfg.use_surface_tilt:
+            tilt_u = jnp.zeros_like(u)
+            tilt_v = jnp.zeros_like(v)
+        elif v_cfg.geostrophic_surface_tilt:
+            tilt_u = jnp.where(solve_velocity > 0,
+                               -mesh.f_vertex * mass_vertex * vo_v, 0.0)
+            tilt_v = jnp.where(solve_velocity > 0,
+                               mesh.f_vertex * mass_vertex * uo_v, 0.0)
+        else:
+            tilt_uv = cell_to_vertex(mesh, forcing.sea_surface_tilt_u)
+            tilt_vv = cell_to_vertex(mesh, forcing.sea_surface_tilt_v)
+            tilt_u = jnp.where(solve_velocity > 0,
+                               -c.GRAVITY * mass_vertex * tilt_uv, 0.0)
+            tilt_v = jnp.where(solve_velocity > 0,
+                               -c.GRAVITY * mass_vertex * tilt_vv, 0.0)
+
+        # init subcycle variables (reference :2227-2386): zero stress
+        # where not solving
+        ss = solve_stress[:, None]
+        s11 = jnp.where(ss > 0, state.stress11, 0.0)
+        s22 = jnp.where(ss > 0, state.stress22, 0.0)
+        s12 = jnp.where(ss > 0, state.stress12, 0.0)
+
+        # --- elastic subcycle loop (reference :2447-2592) ---
+
+        def body(_, carry):
+            u, v, s11, s22, s12 = carry
+            s11, s22, s12, e11, e22, e12, _rp = internal_stress(
+                dyn, u, v, s11, s22, s12, pressure, solve_stress)
+            div_u, div_v = variational.stress_divergence(
+                s11, s22, s12, dyn.tan_lat_vertex, mesh,
+                dyn.basis_integrals_u, dyn.basis_integrals_v,
+                dyn.basis_integrals_metric, dyn.variational_denominator,
+                solve_velocity)
+            ocean_coeff = ocean_stress_coefficient(
+                u, v, uo_v, vo_v, area_vertex, solve_velocity)
+            if relation == ConstitutiveRelation.EVP_REVISED:
+                u, v = solve_velocity_revised_evp(
+                    u, v, u_init, v_init, mass_vertex, mass_f, div_u, div_v,
+                    air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
+                    ocean_coeff, solve_velocity, brlx)
+            else:
+                u, v = solve_velocity_evp(
+                    u, v, mass_vertex, mass_f, div_u, div_v,
+                    air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
+                    ocean_coeff, solve_velocity)
+            u, v = halo_exchange_vertex(u, v)
+            return (u, v, s11, s22, s12)
+
+        u, v, s11, s22, s12 = jax.lax.fori_loop(
+            0, v_cfg.elastic_subcycle_number, body, (u, v, s11, s22, s12))
+
+        # --- post-subcycle (reference :3360-3700) ---
+        e11, e22, e12 = variational.strain_tensor(
+            u, v, dyn.tan_lat_vertex, mesh,
+            dyn.basis_gradient_u, dyn.basis_gradient_v)
+        div, shear, ridge_conv, ridge_shear = \
+            variational.final_divergence_shear(
+                e11, e22, e12, mesh, solve_stress, c.EVP_ECCENTRICITY_SQ)
+
+        # principal stresses (reference :3443-3555)
+        s11m = (s11 * mesh.vertices_on_cell_mask).sum(axis=1) / \
+            jnp.maximum(mesh.vertices_on_cell_mask.sum(axis=1), 1.0)
+        s22m = (s22 * mesh.vertices_on_cell_mask).sum(axis=1) / \
+            jnp.maximum(mesh.vertices_on_cell_mask.sum(axis=1), 1.0)
+        s12m = (s12 * mesh.vertices_on_cell_mask).sum(axis=1) / \
+            jnp.maximum(mesh.vertices_on_cell_mask.sum(axis=1), 1.0)
+        mean = 0.5 * (s11m + s22m)
+        rad = jnp.sqrt((0.5 * (s11m - s22m)) ** 2 + s12m ** 2)
+        sig1 = mean + rad
+        sig2 = mean - rad
+
+        # final ocean stress for the coupler (reference :3624-3700)
+        ocean_coeff = ocean_stress_coefficient(
+            u, v, uo_v, vo_v, area_vertex, solve_velocity)
+        sgn_f = jnp.sign(mesh.f_vertex)
+        sgn_f = jnp.where(sgn_f == 0, 1.0, sgn_f)
+        tau_ou = ocean_coeff * (
+            (uo_v - u) * c.COS_OCEAN_TURNING_ANGLE -
+            (vo_v - v) * c.SIN_OCEAN_TURNING_ANGLE * sgn_f)
+        tau_ov = ocean_coeff * (
+            (vo_v - v) * c.COS_OCEAN_TURNING_ANGLE +
+            (uo_v - u) * c.SIN_OCEAN_TURNING_ANGLE * sgn_f)
+
+        new_state = VelocitySolverState(
+            u_velocity=u, v_velocity=v,
+            stress11=s11, stress22=s22, stress12=s12,
+            solve_velocity_prev=solve_velocity.astype(dtype),
+        )
+        diags = {
+            "divergence": div, "shear": shear,
+            "ridge_convergence": ridge_conv, "ridge_shear": ridge_shear,
+            "principal_stress1": sig1, "principal_stress2": sig2,
+            "ice_pressure": pressure,
+            "ocean_stress_u": tau_ou, "ocean_stress_v": tau_ov,
+            "solve_stress": solve_stress, "solve_velocity": solve_velocity,
+            "stress_divergence_u": jnp.zeros_like(u),
+            "stress_divergence_v": jnp.zeros_like(v),
+        }
+        return new_state, diags
+
+    # revised-EVP numerical inertia coefficient brlx (Bouillon et al. 2013;
+    # reference constitutive_relation.F:154-162)
+    if relation == ConstitutiveRelation.EVP_REVISED:
+        if min_dv_edge is None:
+            raise ValueError("revised EVP requires min_dv_edge")
+        gamma = 0.25 * 1.0e11 * dt_dyn
+        brlx = (2.0 * c.REVISED_EVP_DAMPING_RATIO_DENOM *
+                c.REVISED_EVP_DAMPING_RATIO * gamma) / min_dv_edge ** 2
+    else:
+        brlx = 0.0
+
+    if dyn is not None:
+        return functools.partial(step, dyn)
+    return step  # call as step(dyn, state, forcing, area, vol, snow)
