@@ -1,0 +1,21 @@
+"""Column physics: the grid-independent per-cell physics package.
+
+TPU-native re-design of the CICE column package
+(`/root/reference/src/column/`, API facade `ice_colpkg.F90:19-68`):
+every routine is written as a dense, vectorized kernel over leading
+batch dims [nCells, nCategories] with the vertical layer axis last —
+the per-cell Fortran loops (reference `mpas_seaice_column.F:1694-1697`)
+become one fused XLA program.
+"""
+
+from . import constants
+from .thermo_shared import (salinity_profile, melting_temperature,
+                            ice_enthalpy_from_temperature,
+                            ice_temperature_from_enthalpy,
+                            snow_enthalpy_from_temperature,
+                            snow_temperature_from_enthalpy)
+from .bl99 import temperature_changes
+from .vertical import thermo_vertical, frzmlt_bottom_lateral
+from .itd import (category_boundaries, aggregate_area, aggregate_state,
+                  linear_itd_remap, ice_strength_hibler,
+                  ice_strength_rothrock)

@@ -193,6 +193,8 @@ def _air_stress(forcing: DynamicsForcing, mass: IceMassState,
 
 def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          halo_exchange_vertex=None,
+                         halo_exchange_cell_field=None,
+                         halo_exchange_vertex_field=None,
                          min_dv_edge: float = None):
     """Build the dynamics-step function.
 
@@ -205,6 +207,11 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     halo_exchange_vertex: optional callable (u, v) -> (u, v) run after each
     velocity update — identity on a single device, a collective under
     shard_map.
+    halo_exchange_cell_field / halo_exchange_vertex_field: optional
+    single-array halo refreshers applied to the pre-subcycle fields whose
+    local stencils extend beyond the halo (solveStress mask; the
+    solveVelocity/velocity group) — mirrors the reference's
+    solveVelocity/icePressure exchange groups (velocity_solver.F:257-345).
     min_dv_edge: global minimum edge length (needed for revised EVP; the
     reference computes it with an MPI min-reduction at init,
     constitutive_relation.F:133-162).
@@ -229,6 +236,12 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     if halo_exchange_vertex is None:
         def halo_exchange_vertex(u, v):
             return u, v
+    if halo_exchange_cell_field is None:
+        def halo_exchange_cell_field(f):
+            return f
+    if halo_exchange_vertex_field is None:
+        def halo_exchange_vertex_field(f):
+            return f
 
     def internal_stress(dyn, u, v, s11, s22, s12, pressure, solve_stress_c):
         mesh = dyn.mesh
@@ -333,6 +346,10 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         mass = aggregate_mass(ice_area_cat, ice_volume_cat, snow_volume_cat)
         (solve_stress, solve_velocity, total_mass, mass_vertex,
          area_vertex) = _computation_masks(mass, forcing, dyn)
+        # the solveStress neighbor-max and the vertex masks reach one ring
+        # beyond the halo: refresh from their owners
+        solve_stress = halo_exchange_cell_field(solve_stress)
+        solve_velocity = halo_exchange_vertex_field(solve_velocity)
 
         # new-ice velocities (reference :1164-1327)
         uo_v = cell_to_vertex(mesh, forcing.u_ocean_velocity)
@@ -342,6 +359,7 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         v = jnp.where(is_new, vo_v, state.v_velocity)
         u = jnp.where(solve_velocity > 0, u, 0.0)
         v = jnp.where(solve_velocity > 0, v, 0.0)
+        u, v = halo_exchange_vertex(u, v)
         u_init, v_init = u, v
 
         # ice strength (reference :1341-1508)

@@ -1,0 +1,154 @@
+"""Model driver: state container + the single jitted timestep.
+
+TPU-native equivalent of the reference's core run loop and time
+integration (`/root/reference/src/model_forward/mpas_seaice_core.F:257-371`
+and `/root/reference/src/shared/mpas_seaice_time_integration.F:42-175`):
+one `seaice_timestep` = column pre-dynamics -> (dynamics subcycle:
+velocity solve -> transport -> ridging) -> column post-dynamics, compiled
+as one XLA program over the whole step so the working set stays resident
+on device (the reference needs OpenACC data regions for this;
+mesh_pool.F:145-172).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as c
+from .config import AdvectionType, Config
+from .mesh.core import Mesh, MeshTensors
+from .dynamics import evp
+from .dynamics.evp import (DynamicsForcing, DynamicsTensors,
+                           VelocitySolverState, build_dynamics_tensors,
+                           init_velocity_state, zero_forcing)
+from .transport import (RemapTensors, TracerTree, build_remap_geometry,
+                        make_remap_step, standard_tracer_tree,
+                        mass_only_tree)
+from .utils.pytree import pytree_dataclass, replace
+
+
+@pytree_dataclass
+class State:
+    """Full prognostic model state (one pytree; the TPU-native Registry
+    'restart' field set, reference Registry.xml:1910-2014)."""
+    velocity: VelocitySolverState
+    tracers: Dict[str, Any]         # tracer arrays keyed by name
+    time: Any                       # model time, seconds since start
+
+
+@pytree_dataclass
+class ModelTensors:
+    """All static per-mesh device tensors used by the step."""
+    mesh: MeshTensors
+    dynamics: DynamicsTensors
+    remap: Optional[RemapTensors]
+    area_cell: Any
+
+
+class SeaIceModel:
+    """Owns the static mesh/basis/geometry tensors and builds the jitted
+    step for a Config (scheme selection at trace time, like the
+    reference's init-time scheme selection)."""
+
+    def __init__(self, mesh: Mesh, cfg: Config, dtype=jnp.float64,
+                 tracer_tree: Optional[TracerTree] = None):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.dtype = dtype
+        if tracer_tree is None:
+            if cfg.column.use_column_package:
+                tracer_tree = standard_tracer_tree(
+                    n_ice_layers=cfg.run.n_ice_layers,
+                    n_snow_layers=cfg.run.n_snow_layers)
+            else:
+                tracer_tree = TracerTree((
+                    mass_only_tree().specs[0],
+                    standard_tracer_tree().specs[1],
+                    standard_tracer_tree().specs[2],
+                ))
+        self.tree = tracer_tree
+
+        mesh_t = mesh.tensors(dtype)
+        dyn_t = build_dynamics_tensors(mesh, cfg, dtype)
+        remap_t = None
+        if cfg.advection.advection_type == AdvectionType.INCREMENTAL_REMAP:
+            remap_t = build_remap_geometry(mesh).tensors(dtype)
+        self.tensors = ModelTensors(
+            mesh=mesh_t, dynamics=dyn_t, remap=remap_t,
+            area_cell=jnp.asarray(mesh.area_cell, dtype))
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, ice_area_cat=None, ice_volume_cat=None,
+                   snow_volume_cat=None) -> State:
+        nc = self.mesh.n_cells
+        ncat = self.cfg.run.n_categories
+        dt = self.dtype
+        z2 = jnp.zeros((nc, ncat), dt)
+        tr = {}
+        for spec in self.tree.specs:
+            shape = (nc, ncat) + ((spec.n_layers,) if spec.n_layers else ())
+            tr[spec.name] = jnp.zeros(shape, dt)
+        if ice_area_cat is not None:
+            tr["iceAreaCategory"] = jnp.asarray(ice_area_cat, dt)
+        if ice_volume_cat is not None:
+            tr["iceVolumeCategory"] = jnp.asarray(ice_volume_cat, dt)
+        if snow_volume_cat is not None:
+            tr["snowVolumeCategory"] = jnp.asarray(snow_volume_cat, dt)
+        return State(
+            velocity=init_velocity_state(self.mesh, dt),
+            tracers=tr,
+            time=jnp.zeros((), dt),
+        )
+
+    # -- step ----------------------------------------------------------------
+
+    def make_step(self, halo_exchange_vertex=None, jit: bool = True):
+        """Build step(tensors, state, forcing) -> (state, diags).
+
+        The ModelTensors are a traced argument (compile-time constants blow
+        up compile time and kill the persistent cache)."""
+        cfg = self.cfg
+        tree = self.tree
+        vel_step = evp.make_velocity_solver(
+            cfg, halo_exchange_vertex=halo_exchange_vertex,
+            min_dv_edge=float(np.min(self.mesh.dv_edge[
+                self.mesh.dv_edge > 0])))
+        use_remap = (cfg.advection.advection_type ==
+                     AdvectionType.INCREMENTAL_REMAP)
+        if use_remap:
+            remap_step = make_remap_step(
+                tree, self.mesh.vertex_degree,
+                monotonic=cfg.advection.monotonic)
+        dt_dyn = cfg.dynamics_timestep
+        n_sub = cfg.velocity.dynamics_subcycle_number
+
+        def step(tensors: ModelTensors, state: State,
+                 forcing: DynamicsForcing):
+            tr = dict(state.tracers)
+            vel = state.velocity
+            diags = {}
+            for _ in range(n_sub):
+                if cfg.velocity.use_velocity_solver:
+                    vel, diags = vel_step(
+                        tensors.dynamics, vel, forcing,
+                        tr["iceAreaCategory"], tr["iceVolumeCategory"],
+                        tr["snowVolumeCategory"])
+                if use_remap:
+                    tr = remap_step(
+                        tensors.remap, tensors.mesh.cells_on_cell,
+                        tensors.mesh.cells_on_cell_mask, tensors.area_cell,
+                        tr, vel.u_velocity, vel.v_velocity, dt_dyn)
+            new_state = State(velocity=vel, tracers=tr,
+                              time=state.time + cfg.run.dt)
+            return new_state, diags
+
+        if jit:
+            step = jax.jit(step)
+        return step

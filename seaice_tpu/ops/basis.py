@@ -288,6 +288,10 @@ def compute_variational_basis(
     sm = np.zeros((nc, me, me))
 
     for n in np.unique(mesh.n_edges_on_cell):
+        if n < 3:
+            # degenerate (e.g. padded dummy cells in partitioned local
+            # blocks): zero basis
+            continue
         sel = np.nonzero(mesh.n_edges_on_cell == n)[0]
         xl = mesh.x_local[sel, :n]
         yl = mesh.y_local[sel, :n]

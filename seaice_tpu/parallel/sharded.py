@@ -1,0 +1,253 @@
+"""Multi-device sea-ice model: shard_map over a 1-D device mesh.
+
+TPU-native replacement for the reference's MPI block loop + dmpar halo
+exchange (SURVEY.md section 2h). Each device runs the identical
+single-device kernels on its local block (owned + 2-deep halo — the MPAS
+block structure), and halo refresh happens *inside* the one jitted step:
+
+  per elastic subcycle: vertex-velocity halo refresh (the reference
+    exchanges uVelocity/vVelocity by MPI once per subcycle,
+    mpas_seaice_velocity_solver.F:2546-2584) -> here an all_gather of
+    per-shard export buffers over ICI + a gather;
+  per dynamics step: 2-deep cell halo refresh of all tracers after
+    transport (reference ...incremental_remap.F:2429-2487).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as JaxMesh, PartitionSpec as P
+
+from .. import constants as c
+from ..config import AdvectionType, Config
+from ..dynamics import evp
+from ..mesh.core import Mesh
+from ..model import ModelTensors, SeaIceModel, State
+from ..transport import make_remap_step
+from ..utils.pytree import pytree_dataclass
+from .partition import Partition, partition_mesh
+
+AXIS = "shard"
+
+
+@pytree_dataclass
+class HaloMaps:
+    """Per-shard halo bookkeeping (stacked on the shard axis)."""
+    vertex_export_idx: Any        # [nVertexExport] local owned indices
+    vertex_halo_src_shard: Any    # [nVertexHalo]
+    vertex_halo_src_idx: Any
+    cell_export_idx: Any          # [nCellExport]
+    cell_halo_src_shard: Any      # [nCellHalo]
+    cell_halo_src_idx: Any
+    vertex_owned_mask: Any        # [nVerticesOwned]
+    cell_owned_mask: Any          # [nCellsOwned]
+
+
+def _exchange(field, export_idx, src_shard, src_idx, n_owned):
+    """Refresh a field's halo entries: all_gather each shard's export
+    buffer, then place the addressed entries into the halo slots.
+    field: [nLocal, ...]; returns same shape."""
+    buf = field[export_idx]                       # [nExport, ...]
+    allbuf = jax.lax.all_gather(buf, AXIS)        # [S, nExport, ...]
+    halo = allbuf[src_shard, src_idx]             # [nHalo, ...]
+    return jnp.concatenate([field[:n_owned], halo], axis=0)
+
+
+class ShardedSeaIceModel:
+    """Drop-in multi-device wrapper: same Config/semantics as
+    SeaIceModel, state and tensors stacked on a leading shard axis."""
+
+    def __init__(self, mesh: Mesh, cfg: Config, n_shards: int,
+                 dtype=jnp.float64, devices=None):
+        self.global_mesh = mesh
+        self.cfg = cfg
+        self.dtype = dtype
+        self.part = partition_mesh(mesh, n_shards)
+        self.n_shards = n_shards
+        if devices is None:
+            devices = np.array(jax.devices()[:n_shards])
+        self.jax_mesh = JaxMesh(devices, (AXIS,))
+
+        # per-block single-device models (share config/tracer tree)
+        self.models = [SeaIceModel(b.mesh, cfg, dtype)
+                       for b in self.part.blocks]
+        self.tree = self.models[0].tree
+        self.tensors = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[m.tensors for m in self.models])
+
+        def stack(field):
+            return jnp.asarray(np.stack(field))
+
+        self.halo = HaloMaps(
+            vertex_export_idx=stack(
+                [b.vertex_export_idx for b in self.part.blocks]),
+            vertex_halo_src_shard=stack(
+                [b.vertex_halo_src_shard for b in self.part.blocks]),
+            vertex_halo_src_idx=stack(
+                [b.vertex_halo_src_idx for b in self.part.blocks]),
+            cell_export_idx=stack(
+                [b.cell_export_idx for b in self.part.blocks]),
+            cell_halo_src_shard=stack(
+                [b.cell_halo_src_shard for b in self.part.blocks]),
+            cell_halo_src_idx=stack(
+                [b.cell_halo_src_idx for b in self.part.blocks]),
+            vertex_owned_mask=stack(
+                [b.vertex_owned_mask for b in self.part.blocks]),
+            cell_owned_mask=stack(
+                [b.cell_owned_mask for b in self.part.blocks]),
+        )
+        self.n_vertices_owned = self.part.blocks[0].n_vertices_owned
+        self.n_cells_owned = self.part.blocks[0].n_cells_owned
+
+    # -- state scatter/gather ------------------------------------------------
+
+    def init_state(self, ice_area_cat=None, ice_volume_cat=None,
+                   snow_volume_cat=None) -> State:
+        def sc(f):
+            if f is None:
+                return None
+            return self.part.scatter_cell_field(np.asarray(f))
+
+        states = []
+        area_l = sc(ice_area_cat)
+        vol_l = sc(ice_volume_cat)
+        snow_l = sc(snow_volume_cat)
+        for s, m in enumerate(self.models):
+            states.append(m.init_state(
+                None if area_l is None else area_l[s],
+                None if vol_l is None else vol_l[s],
+                None if snow_l is None else snow_l[s]))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def scatter_forcing(self, forcing_fn):
+        """forcing_fn(local_mesh) -> DynamicsForcing; stacked result."""
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[forcing_fn(b.mesh) for b in self.part.blocks])
+
+    def gather_tracers(self, state: State) -> Dict[str, np.ndarray]:
+        out = {}
+        for name, arr in state.tracers.items():
+            out[name] = self.part.gather_cell_field(
+                np.asarray(arr), self.global_mesh.n_cells)
+        return out
+
+    def gather_velocity(self, state: State):
+        u = self.part.gather_vertex_field(
+            np.asarray(state.velocity.u_velocity),
+            self.global_mesh.n_vertices)
+        v = self.part.gather_vertex_field(
+            np.asarray(state.velocity.v_velocity),
+            self.global_mesh.n_vertices)
+        return u, v
+
+    # -- step ----------------------------------------------------------------
+
+    def make_step(self, jit: bool = True):
+        cfg = self.cfg
+        tree = self.tree
+        n_v_own = self.n_vertices_owned
+        n_c_own = self.n_cells_owned
+        dt_dyn = cfg.dynamics_timestep
+
+        use_remap = (cfg.advection.advection_type ==
+                     AdvectionType.INCREMENTAL_REMAP)
+        if use_remap:
+            remap_step = make_remap_step(
+                tree, self.global_mesh.vertex_degree,
+                monotonic=cfg.advection.monotonic)
+
+        def shard_body(tensors: ModelTensors, halo: HaloMaps,
+                       state: State, forcing):
+            # inside shard_map: strip the leading (length-1) block axis
+            tensors, halo, state, forcing = jax.tree.map(
+                lambda x: x[0], (tensors, halo, state, forcing))
+
+            def exchange_vertex_uv(u, v):
+                uv = jnp.stack([u, v], axis=-1)
+                uv = _exchange(uv, halo.vertex_export_idx,
+                               halo.vertex_halo_src_shard,
+                               halo.vertex_halo_src_idx, n_v_own)
+                return uv[..., 0], uv[..., 1]
+
+            def exchange_cell(f):
+                return _exchange(f, halo.cell_export_idx,
+                                 halo.cell_halo_src_shard,
+                                 halo.cell_halo_src_idx, n_c_own)
+
+            def exchange_vertex_field(f):
+                return _exchange(f, halo.vertex_export_idx,
+                                 halo.vertex_halo_src_shard,
+                                 halo.vertex_halo_src_idx, n_v_own)
+
+            vel_step = evp.make_velocity_solver(
+                cfg, halo_exchange_vertex=exchange_vertex_uv,
+                halo_exchange_cell_field=exchange_cell,
+                halo_exchange_vertex_field=exchange_vertex_field,
+                min_dv_edge=self.part.min_dv_edge)
+
+            tr = dict(state.tracers)
+            vel = state.velocity
+            diags = {}
+            for _ in range(cfg.velocity.dynamics_subcycle_number):
+                if cfg.velocity.use_velocity_solver:
+                    vel, diags = vel_step(
+                        tensors.dynamics, vel, forcing,
+                        tr["iceAreaCategory"], tr["iceVolumeCategory"],
+                        tr["snowVolumeCategory"])
+                if use_remap:
+                    tr = remap_step(
+                        tensors.remap, tensors.mesh.cells_on_cell,
+                        tensors.mesh.cells_on_cell_mask,
+                        tensors.area_cell, tr,
+                        vel.u_velocity, vel.v_velocity, dt_dyn)
+                    # 2-deep tracer halo refresh (owned values are
+                    # authoritative; halo updates computed locally are
+                    # discarded)
+                    tr = {k: exchange_cell(v) for k, v in tr.items()}
+
+            new_state = State(velocity=vel, tracers=tr,
+                              time=state.time + cfg.run.dt)
+            # restore the leading block axis
+            return jax.tree.map(lambda x: x[None], (new_state, diags))
+
+        smapped = jax.shard_map(
+            shard_body, mesh=self.jax_mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False)
+
+        def step(tensors, halo, state, forcing):
+            return smapped(tensors, halo, state, forcing)
+
+        if jit:
+            step = jax.jit(step)
+        return step
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: compile + run ONE sharded step on tiny shapes."""
+    import jax.numpy as jnp
+    from ..config import box_test_config
+    from ..testcases import box
+
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, found {len(devices)}")
+    cfg = box_test_config(elastic_subcycles=2)
+    mesh = box.box_test_mesh(8, 8)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    model = ShardedSeaIceModel(mesh, cfg, n_devices, dtype=jnp.float32)
+    area, vol, snow = box.box_initial_state(mesh, n_categories=1)
+    state = model.init_state(area, vol, snow)
+    forcing = model.scatter_forcing(
+        lambda m: box.box_forcing(m, t=0.0, dtype=jnp.float32))
+    step = model.make_step()
+    out, _ = step(model.tensors, model.halo, state, forcing)
+    jax.block_until_ready(out.velocity.u_velocity)

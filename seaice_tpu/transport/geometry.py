@@ -1,0 +1,429 @@
+"""Host-side geometry precompute for incremental remapping.
+
+TPU-native equivalent of `get_geometry_incremental_remap` and
+`compute_geometric_cell_averages`
+(`/root/reference/src/shared/mpas_seaice_advection_incremental_remap.F:1105-1808,2097-2323`):
+everything data-dependent-branchy is resolved ONCE here in NumPy into
+fixed-slot index/coordinate tables, so the per-step jitted pipeline is pure
+masked dense arithmetic.
+
+Edge-local remap stencil (slots are 0-based versions of the reference's
+diagram, incremental_remap.F:1133-1172):
+
+  cells_on_edge_remap[e, 0:6] = C1, C2, C3, C4, C5, C6  (-1 if absent;
+      C5/C6 exist only on quad meshes)
+  edges_on_edge_remap[e, 0:6] = E1, E2, E3, E4, E5, E6  (-1 if absent)
+  xy_vertex_on_edge[e, 0:8]   = V1, V2, V3..V6 (far ends of E1..E4),
+      V7, V8 (far ends of E5, E6), in edge-midpoint-relative coordinates
+
+Also provides the least-squares gradient-reconstruction coefficients that
+replace the MPAS framework's RBF `coeffsReconstruct` (used by
+compute_gradient_2d, incremental_remap.F:4204-4414): exact for linear
+fields, which is all the 2nd-order IR reconstruction requires.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+from ..mesh.core import Mesh
+
+# 6-point, degree-4 triangle quadrature (reference incremental_remap.F
+# module constants q1..q4TriangleQP, w1/w2TriangleQP; documented at
+# :6523-6545)
+Q1 = 0.0915762135097704655
+Q2 = 0.816847572980458514
+Q3 = 0.108103018168070275
+Q4 = 0.445948490915964113
+W1 = 0.109951743655321885
+W2 = 0.223381589678011389
+
+# rows: quadrature points; cols: barycentric weights on the 3 tri vertices
+QP_COEFFS = np.array([
+    [Q1, Q1, Q2],
+    [Q1, Q2, Q1],
+    [Q2, Q1, Q1],
+    [Q3, Q4, Q4],
+    [Q4, Q3, Q4],
+    [Q4, Q4, Q3],
+])
+QP_WEIGHTS = np.array([W1, W1, W1, W2, W2, W2])
+
+# Fixed triangle slots per edge in our vectorized pipeline. The reference
+# packs at most 6 triangles with a running counter
+# (find_departure_triangles :5365-6269); we give every potential triangle
+# its own slot (4 side-intersection passes x {side tri, quad-split tri}
+# + 2 central) so slot assignment is static. Unused slots have area 0.
+N_TRI_SLOTS = 10
+
+
+def _wrap(d, period):
+    if period > 0.0:
+        return d - period * np.round(d / period)
+    return d
+
+
+@dataclasses.dataclass
+class RemapGeometry:
+    """Host-side (NumPy) remap geometry; see build_remap_geometry."""
+    remap_edge: np.ndarray            # [nEdges] {0,1}
+    cells_on_edge_remap: np.ndarray   # [nEdges, 6] int32, -1 invalid
+    edges_on_edge_remap: np.ndarray   # [nEdges, 6] int32, -1 invalid
+    x_vertex_on_edge: np.ndarray      # [nEdges, 8]
+    y_vertex_on_edge: np.ndarray      # [nEdges, 8]
+    vertex_on_edge_valid: np.ndarray  # [nEdges, 8] {0,1}
+    vertex_on_cell_remap: np.ndarray  # [nEdges, 6, 2] int32 local idx, -1
+    min_length_edges_on_vertex: np.ndarray  # [nVertices]
+    geom_moments: np.ndarray          # [nCells, 14] x..yyyy averages
+    coeffs_reconstruct: np.ndarray    # [nCells, maxEdges, 2]
+    edge_sign_on_cell: np.ndarray     # [nCells, maxEdges] +-1 (0 invalid)
+    vertex_degree: int
+    # mesh-derived companions needed by the jitted pipeline
+    vertices_on_edge: np.ndarray = None   # [nEdges, 2] int32
+    edges_on_cell: np.ndarray = None      # [nCells, maxEdges] int32, -1
+    dc_edge_on_cell: np.ndarray = None    # [nCells, maxEdges]
+    x_local: np.ndarray = None            # [nCells, maxEdges]
+    y_local: np.ndarray = None            # [nCells, maxEdges]
+
+    def tensors(self, dtype=jnp.float64) -> "RemapTensors":
+        m = self
+        return RemapTensors(
+            remap_edge=jnp.asarray(m.remap_edge, dtype),
+            cells_on_edge_remap=jnp.asarray(
+                np.maximum(m.cells_on_edge_remap, 0), jnp.int32),
+            cells_on_edge_remap_mask=jnp.asarray(
+                m.cells_on_edge_remap >= 0, dtype),
+            edges_on_edge_remap_mask=jnp.asarray(
+                m.edges_on_edge_remap >= 0, dtype),
+            x_vertex_on_edge=jnp.asarray(m.x_vertex_on_edge, dtype),
+            y_vertex_on_edge=jnp.asarray(m.y_vertex_on_edge, dtype),
+            vertex_on_cell_remap=jnp.asarray(
+                np.maximum(m.vertex_on_cell_remap, 0), jnp.int32),
+            min_length_edges_on_vertex=jnp.asarray(
+                m.min_length_edges_on_vertex, dtype),
+            geom_moments=jnp.asarray(m.geom_moments, dtype),
+            coeffs_reconstruct=jnp.asarray(m.coeffs_reconstruct, dtype),
+            edge_sign_on_cell=jnp.asarray(m.edge_sign_on_cell, dtype),
+            qp_coeffs=jnp.asarray(QP_COEFFS, dtype),
+            qp_weights=jnp.asarray(QP_WEIGHTS, dtype),
+            vertices_on_edge=jnp.asarray(
+                np.maximum(m.vertices_on_edge, 0), jnp.int32),
+            edges_on_cell=jnp.asarray(
+                np.maximum(m.edges_on_cell, 0), jnp.int32),
+            edges_on_cell_mask=jnp.asarray(m.edges_on_cell >= 0, dtype),
+            dc_edge_on_cell=jnp.asarray(m.dc_edge_on_cell, dtype),
+            x_local=jnp.asarray(m.x_local, dtype),
+            y_local=jnp.asarray(m.y_local, dtype),
+        )
+
+
+@register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RemapTensors:
+    """Device-side remap geometry consumed by the jitted IR pipeline."""
+    remap_edge: Any
+    cells_on_edge_remap: Any
+    cells_on_edge_remap_mask: Any
+    edges_on_edge_remap_mask: Any
+    x_vertex_on_edge: Any
+    y_vertex_on_edge: Any
+    vertex_on_cell_remap: Any
+    min_length_edges_on_vertex: Any
+    geom_moments: Any
+    coeffs_reconstruct: Any
+    edge_sign_on_cell: Any
+    qp_coeffs: Any
+    qp_weights: Any
+    vertices_on_edge: Any
+    edges_on_cell: Any
+    edges_on_cell_mask: Any
+    dc_edge_on_cell: Any
+    x_local: Any
+    y_local: Any
+
+    def tree_flatten(self):
+        fields = [f.name for f in dataclasses.fields(self)]
+        return tuple(getattr(self, f) for f in fields), fields
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(**dict(zip(aux, children)))
+
+
+def build_remap_geometry(mesh: Mesh) -> RemapGeometry:
+    if mesh.on_sphere:
+        raise NotImplementedError(
+            "spherical IR geometry lands with the spherical-mesh reader")
+    ne = mesh.n_edges
+    nc = mesh.n_cells
+    nv = mesh.n_vertices
+    me = mesh.max_edges
+    vd = mesh.vertex_degree
+    px, py = mesh.period_x, mesh.period_y
+
+    coe = mesh.cells_on_edge
+    voe = mesh.vertices_on_edge
+    eoc = mesh.edges_on_cell
+    voc = mesh.vertices_on_cell
+    neoc = mesh.n_edges_on_cell
+
+    # remapEdge: edges with both cell neighbors (no-flux at boundaries;
+    # reference :1263-1287)
+    remap_edge = ((coe[:, 0] >= 0) & (coe[:, 1] >= 0)).astype(np.int32)
+
+    cells_rm = np.full((ne, 6), -1, np.int32)
+    edges_rm = np.full((ne, 6), -1, np.int32)
+    cells_rm[:, 0] = coe[:, 0]
+    cells_rm[:, 1] = coe[:, 1]
+
+    def edge_of_cell_with_vertex(c, v, exclude):
+        """Edge of cell c containing vertex v, not in `exclude`."""
+        for k in range(neoc[c]):
+            e2 = eoc[c, k]
+            if e2 < 0 or e2 in exclude:
+                continue
+            if voe[e2, 0] == v or voe[e2, 1] == v:
+                return e2
+        return -1
+
+    def other_cell(e2, c):
+        if e2 < 0:
+            return -1
+        a, b = coe[e2]
+        return b if a == c else a
+
+    for e in range(ne):
+        if not remap_edge[e]:
+            continue
+        v1, v2 = voe[e]
+        c1, c2 = coe[e]
+        # side edges by vertex membership (robust to any slot ordering;
+        # equivalent to the reference's edgesOnCell walk :1420-1509)
+        e1 = edge_of_cell_with_vertex(c1, v1, (e,))
+        e2_ = edge_of_cell_with_vertex(c1, v2, (e,))
+        e3 = edge_of_cell_with_vertex(c2, v1, (e,))
+        e4 = edge_of_cell_with_vertex(c2, v2, (e,))
+        edges_rm[e, 0:4] = (e1, e2_, e3, e4)
+        if vd == 4:
+            # E5/E6: remaining edge at V1/V2 (reference :1478-1509)
+            for kk, (v, known) in enumerate(((v1, (e, e1, e3)),
+                                             (v2, (e, e2_, e4)))):
+                for j in range(vd):
+                    cand = mesh.edges_on_vertex[v, j]
+                    if cand >= 0 and cand not in known:
+                        edges_rm[e, 4 + kk] = cand
+                        break
+        # side cells (reference :1512-1576)
+        if vd == 3:
+            # C3: third cell on V1; C4: third cell on V2
+            c3 = other_cell(e1, c1)
+            if c3 < 0 or c3 == c2:
+                c3 = other_cell(e3, c2)
+                if c3 == c1:
+                    c3 = -1
+            c4 = other_cell(e2_, c1)
+            if c4 < 0 or c4 == c2:
+                c4 = other_cell(e4, c2)
+                if c4 == c1:
+                    c4 = -1
+            cells_rm[e, 2] = c3
+            cells_rm[e, 3] = c4
+        else:
+            cells_rm[e, 2] = other_cell(e1, c1)   # C3 (left, shares V1)
+            cells_rm[e, 3] = other_cell(e2_, c1)  # C4 (left, shares V2)
+            cells_rm[e, 4] = other_cell(e3, c2)   # C5 (right, shares V1)
+            cells_rm[e, 5] = other_cell(e4, c2)   # C6 (right, shares V2)
+
+    # vertex coordinates relative to the edge midpoint (planar path of
+    # reference :1695-1763), with periodic minimum-image wrap
+    xvoe = np.zeros((ne, 8))
+    yvoe = np.zeros((ne, 8))
+    voe_valid = np.zeros((ne, 8), np.int32)
+    for e in range(ne):
+        if not remap_edge[e]:
+            # still fill V1/V2 so masks don't matter downstream
+            pass
+        v1, v2 = voe[e]
+        for k, v in enumerate((v1, v2)):
+            if v < 0:
+                continue
+            xvoe[e, k] = _wrap(mesh.x_vertex[v] - mesh.x_edge[e], px)
+            yvoe[e, k] = _wrap(mesh.y_vertex[v] - mesh.y_edge[e], py)
+            voe_valid[e, k] = 1
+        for j in range(6):
+            en = edges_rm[e, j]
+            if en < 0:
+                continue
+            # shared vertex with main edge, far vertex of the neighbor
+            shared = v1 if j in (0, 2, 4) else v2
+            a, b = voe[en]
+            far = b if a == shared else a
+            if far < 0:
+                continue
+            xvoe[e, 2 + j] = _wrap(mesh.x_vertex[far] - mesh.x_edge[e], px)
+            yvoe[e, 2 + j] = _wrap(mesh.y_vertex[far] - mesh.y_edge[e], py)
+            voe_valid[e, 2 + j] = 1
+
+    # local index of V1/V2 within each remap cell's vertex list
+    vocr = np.full((ne, 6, 2), -1, np.int32)
+    for e in range(ne):
+        v12 = voe[e]
+        for s in range(6):
+            c = cells_rm[e, s]
+            if c < 0:
+                continue
+            for t in range(2):
+                for k in range(neoc[c]):
+                    if voc[c, k] == v12[t]:
+                        vocr[e, s, t] = k
+                        break
+
+    # min edge length meeting at each vertex (CFL check; reference
+    # :1766-1806)
+    min_len = np.full(nv, np.inf)
+    for e in range(ne):
+        v1, v2 = voe[e]
+        if v1 >= 0 and v2 >= 0:
+            ln = mesh.dv_edge[e]
+            for v in (v1, v2):
+                if ln < min_len[v]:
+                    min_len[v] = ln
+    min_len[~np.isfinite(min_len)] = 0.0
+
+    geom_moments = compute_geometric_moments(mesh)
+    coeffs = least_squares_reconstruction_coeffs(mesh)
+
+    # dcEdge gathered per (cell, edge slot) for gradient reconstruction
+    dc_on_cell = np.zeros((nc, me))
+    eoc_safe = np.where(eoc >= 0, eoc, 0)
+    dc_on_cell = np.where(eoc >= 0, mesh.dc_edge[eoc_safe], 0.0)
+
+    # +-1 orientation of each cell relative to its edges (update step;
+    # reference update_mass_and_tracers :7436-7444)
+    esoc = np.zeros((nc, me))
+    for c in range(nc):
+        for k in range(neoc[c]):
+            e = eoc[c, k]
+            if e < 0:
+                continue
+            esoc[c, k] = 1.0 if coe[e, 0] == c else -1.0
+
+    return RemapGeometry(
+        remap_edge=remap_edge,
+        cells_on_edge_remap=cells_rm,
+        edges_on_edge_remap=edges_rm,
+        x_vertex_on_edge=xvoe, y_vertex_on_edge=yvoe,
+        vertex_on_edge_valid=voe_valid,
+        vertex_on_cell_remap=vocr,
+        min_length_edges_on_vertex=min_len,
+        geom_moments=geom_moments,
+        coeffs_reconstruct=coeffs,
+        edge_sign_on_cell=esoc,
+        vertex_degree=vd,
+        vertices_on_edge=voe,
+        edges_on_cell=eoc,
+        dc_edge_on_cell=dc_on_cell,
+        x_local=mesh.x_local,
+        y_local=mesh.y_local,
+    )
+
+
+def compute_geometric_moments(mesh: Mesh) -> np.ndarray:
+    """Cell-average moments <x>, <y>, <xx> ... <yyyy> in cell-local
+    coordinates (reference compute_geometric_cell_averages,
+    incremental_remap.F:2097-2323).
+
+    Integrates over the fan of triangles (center, v_k, v_{k+1}) with
+    6-point degree-4 quadrature; triangle weights use the MPAS convention
+    0.25*dcEdge*dvEdge normalized by their sum.
+    """
+    nc, me = mesh.n_cells, mesh.max_edges
+    neoc = mesh.n_edges_on_cell
+    xl, yl = mesh.x_local, mesh.y_local   # [nCells, maxEdges]
+
+    k = np.arange(me)[None, :]
+    valid = k < neoc[:, None]
+
+    # triangle k: (0,0), v_k, v_{k+1 mod n}
+    nxt = np.where(k + 1 < neoc[:, None], k + 1, 0)
+    x2, y2 = xl, yl
+    x3 = np.take_along_axis(xl, nxt, axis=1)
+    y3 = np.take_along_axis(yl, nxt, axis=1)
+
+    # fractional triangle weights from edge lengths, matching the reference
+    # (edge k of the MPAS convention joins vertices k and k+1)
+    w_tri = np.zeros((nc, me))
+    for c in range(nc):
+        for kk in range(neoc[c]):
+            e = mesh.edges_on_cell[c, kk]
+            # our generator's edge slot kk joins corners kk and kk+1
+            if e >= 0:
+                w_tri[c, kk] = 0.25 * mesh.dc_edge[e] * mesh.dv_edge[e]
+            else:
+                # boundary edge without dcEdge: fall back to triangle area
+                x_a, y_a = xl[c, kk], yl[c, kk]
+                kk2 = (kk + 1) % neoc[c]
+                x_b, y_b = xl[c, kk2], yl[c, kk2]
+                w_tri[c, kk] = 0.5 * abs(x_a * y_b - y_a * x_b)
+    wsum = np.maximum(w_tri.sum(axis=1, keepdims=True), 1e-300)
+    w_tri = np.where(valid, w_tri / wsum, 0.0)
+
+    # quadrature points per (cell, tri): [nc, me, 6]
+    xq = (QP_COEFFS[None, None, :, 0] * 0.0 +
+          QP_COEFFS[None, None, :, 1] * x2[..., None] +
+          QP_COEFFS[None, None, :, 2] * x3[..., None])
+    yq = (QP_COEFFS[None, None, :, 1] * y2[..., None] +
+          QP_COEFFS[None, None, :, 2] * y3[..., None])
+
+    w = QP_WEIGHTS[None, None, :]
+    mom = []
+    for ex, ey in ((1, 0), (0, 1), (2, 0), (1, 1), (0, 2),
+                   (3, 0), (2, 1), (1, 2), (0, 3),
+                   (4, 0), (3, 1), (2, 2), (1, 3), (0, 4)):
+        tri_avg = (w * xq ** ex * yq ** ey).sum(axis=2)
+        mom.append((w_tri * tri_avg).sum(axis=1))
+    return np.stack(mom, axis=1)   # [nCells, 14]
+
+
+def least_squares_reconstruction_coeffs(mesh: Mesh) -> np.ndarray:
+    """Per-cell coefficients turning edge-normal gradient components into a
+    cell-center gradient vector: grad = sum_k coeffs[c,k,:] * g_k, where
+    g_k ~ grad.n_k and n_k is the unit vector from cellsOnEdge[0] to
+    cellsOnEdge[1].
+
+    Least-squares fit, exact for linear fields — the TPU-native stand-in
+    for the MPAS framework RBF coeffsReconstruct consumed at
+    incremental_remap.F:4340-4346.
+    """
+    nc, me = mesh.n_cells, mesh.max_edges
+    coeffs = np.zeros((nc, me, 2))
+    px, py = mesh.period_x, mesh.period_y
+    for c in range(nc):
+        normals = np.zeros((me, 2))
+        ok = np.zeros(me, bool)
+        for k in range(mesh.n_edges_on_cell[c]):
+            e = mesh.edges_on_cell[c, k]
+            if e < 0:
+                continue
+            c1, c2 = mesh.cells_on_edge[e]
+            if c1 < 0 or c2 < 0:
+                continue
+            dx = _wrap(mesh.x_cell[c2] - mesh.x_cell[c1], px)
+            dy = _wrap(mesh.y_cell[c2] - mesh.y_cell[c1], py)
+            ln = np.hypot(dx, dy)
+            if ln <= 0:
+                continue
+            normals[k] = (dx / ln, dy / ln)
+            ok[k] = True
+        if ok.sum() < 2:
+            continue
+        nmat = normals[ok]
+        g = nmat.T @ nmat
+        ginv = np.linalg.inv(g)
+        coeffs[c, ok, :] = nmat @ ginv.T
+    return coeffs

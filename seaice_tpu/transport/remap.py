@@ -1,0 +1,668 @@
+"""Incremental-remapping transport: the jitted pipeline.
+
+TPU-native re-design of the reference IR driver
+(`/root/reference/src/shared/mpas_seaice_advection_incremental_remap.F:2338-2667`
+and the stage kernels it calls). The Fortran per-edge branching of
+`find_departure_triangles` (:5365-6269) becomes a *fixed-slot* masked dense
+computation: every potential departure triangle has a static slot, invalid
+slots carry zero area, and all case analysis is `jnp.where` selects — no
+data-dependent control flow, so the whole dynamics-substep transport is one
+XLA program.
+
+Slot layout (N_TRI_SLOTS = 10, see geometry.py):
+  s = 4*v + 2*side + {0,1} for v in {V1,V2}, side in {left,right}:
+      slot a = side triangle (V, D, IP), slot b = quad-mesh split extra
+      triangle (V, IP0, IP) when the D1-D2 segment also crosses the
+      colinear edge E5/E6;
+  s = 8, 9: the two central triangles in C1/C2.
+
+Algorithm stages per dynamics substep (reference :2338-2667):
+  masks -> reconstruct (gradient, limiter, barycenters) ->
+  departure points (:5255) -> departure triangles (:5365) ->
+  quadrature points (:6546) -> flux integration (:6667) ->
+  mass/tracer-product update (:7125) -> zap small mass (:8764).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import RemapTensors, N_TRI_SLOTS
+from .tracers import TracerTree, TracerSpec
+
+EPS11 = 1.0e-11
+SMALL_MASS = 1.0e-22    # zap threshold (reference :8786)
+BIG = 1.0e30
+
+# moment column indices in RemapTensors.geom_moments
+_M = {name: i for i, name in enumerate(
+    ["x", "y", "xx", "xy", "yy",
+     "xxx", "xxy", "xyy", "yyy",
+     "xxxx", "xxxy", "xxyy", "xyyy", "yyyy"])}
+
+
+def _mom(rt: RemapTensors, name: str):
+    return rt.geom_moments[:, _M[name]]
+
+
+# -- geometry primitives (vectorized over edges) ------------------------------
+
+def _segment_intersection(p1x, p1y, p2x, p2y, p3x, p3y, p4x, p4y):
+    """Strict segment-segment intersection (reference
+    find_line_intersection, :8934-9016): True only for interior crossings
+    (t1, t2 strictly in (0,1)); shared endpoints do not intersect."""
+    rx, ry = p2x - p1x, p2y - p1y
+    sx, sy = p4x - p3x, p4y - p3y
+    cross = rx * sy - ry * sx
+    cross_min = EPS11 * jnp.sqrt(
+        (rx * rx + ry * ry) * (sx * sx + sy * sy))
+    nonparallel = jnp.abs(cross) > cross_min
+    safe = jnp.where(nonparallel, cross, 1.0)
+    t1 = (sy * (p3x - p1x) - sx * (p3y - p1y)) / safe
+    t2 = (ry * (p3x - p1x) - rx * (p3y - p1y)) / safe
+    hit = nonparallel & (t1 > 0.0) & (t1 < 1.0) & (t2 > 0.0) & (t2 < 1.0)
+    ix = p1x + t1 * rx
+    iy = p1y + t1 * ry
+    return hit, jnp.where(nonparallel, ix, BIG), \
+        jnp.where(nonparallel, iy, BIG)
+
+
+def _in_left_half_plane(px, py, ax, ay, bx, by):
+    """True iff point p is in the left half-plane of the line a->b
+    (reference point_in_half_plane, :9201-9234; >= 0 counts as left)."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0.0
+
+
+def _tri_area(x, y):
+    """abs area of triangles with vertices x,y [..., 3]."""
+    return jnp.abs(0.5 * (
+        (x[..., 1] - x[..., 0]) * (y[..., 2] - y[..., 0]) -
+        (y[..., 1] - y[..., 0]) * (x[..., 2] - x[..., 0])))
+
+
+# -- stage 1: departure points (reference :5255-5350) -------------------------
+
+def departure_points(u_vertex, v_vertex, dt):
+    """Backward trajectory -u*dt in vertex-local coordinates. Returns
+    (dpx, dpy, cfl_violation_count)."""
+    dpx = -u_vertex * dt
+    dpy = -v_vertex * dt
+    return dpx, dpy
+
+
+def cfl_violations(dpx, dpy, rt: RemapTensors):
+    """Count of vertices whose trajectory exceeds the shortest adjacent
+    edge (non-fatal warning in the reference, :5330-5350)."""
+    traj = jnp.sqrt(dpx ** 2 + dpy ** 2)
+    return jnp.sum(traj > rt.min_length_edges_on_vertex)
+
+
+# -- stage 2: departure triangles (reference :5365-6269) ----------------------
+
+def find_departure_triangles(rt: RemapTensors, dpx, dpy, vertex_degree: int):
+    """Fixed-slot departure-triangle decomposition per edge.
+
+    Returns dict with:
+      tri_x, tri_y : [nEdges, N_TRI_SLOTS, 3] vertices in edge coordinates
+      cell_slot    : [nEdges, N_TRI_SLOTS] int index into cellsOnEdgeRemap
+      area         : [nEdges, N_TRI_SLOTS] signed area (+: C1 -> C2 flux)
+      mask_edge    : [nEdges]
+    Triangle vertex-on-edge assignment per slot is static: _VOE_IDX.
+    """
+    ne = rt.x_vertex_on_edge.shape[0]
+    dtype = dpx.dtype
+    voe = rt.vertices_on_edge                         # [nEdges, 2]
+
+    # departure points in edge coordinates (reference :5633-5649)
+    dp = jnp.stack([
+        jnp.stack([rt.x_vertex_on_edge[:, 0] + dpx[voe[:, 0]],
+                   rt.y_vertex_on_edge[:, 0] + dpy[voe[:, 0]]], axis=-1),
+        jnp.stack([rt.x_vertex_on_edge[:, 1] + dpx[voe[:, 1]],
+                   rt.y_vertex_on_edge[:, 1] + dpy[voe[:, 1]]], axis=-1),
+    ], axis=1)                                         # [nEdges, 2, 2]
+
+    v1x, v1y = rt.x_vertex_on_edge[:, 0], rt.y_vertex_on_edge[:, 0]
+    v2x, v2y = rt.x_vertex_on_edge[:, 1], rt.y_vertex_on_edge[:, 1]
+    vx = jnp.stack([v1x, v2x], axis=1)                 # [nEdges, 2]
+    vy = jnp.stack([v1y, v2y], axis=1)
+
+    # maskEdge: remap edge with a nonzero departure vector (:5597-5607)
+    dlen = (dpx[voe] ** 2 + dpy[voe] ** 2).sum(axis=1)
+    mask_edge = (rt.remap_edge > 0) & (dlen > 0.0)
+
+    S = N_TRI_SLOTS
+    tri_x = jnp.zeros((ne, S, 3), dtype)
+    tri_y = jnp.zeros((ne, S, 3), dtype)
+    cell_slot = jnp.zeros((ne, S), jnp.int32)
+    sign = jnp.zeros((ne, S), dtype)
+    valid = jnp.zeros((ne, S), dtype=bool)
+
+    dpx_e = dp[:, :, 0]
+    dpy_e = dp[:, :, 1]
+
+    def set_tri(s, ok, ax, ay, bx, by, cx, cy, cslot, sgn):
+        nonlocal tri_x, tri_y, cell_slot, sign, valid
+        t_x = jnp.stack([ax, bx, cx], axis=-1)
+        t_y = jnp.stack([ay, by, cy], axis=-1)
+        tri_x = tri_x.at[:, s, :].set(jnp.where(ok[:, None], t_x, 0.0))
+        tri_y = tri_y.at[:, s, :].set(jnp.where(ok[:, None], t_y, 0.0))
+        cell_slot = cell_slot.at[:, s].set(
+            jnp.where(ok, cslot, 0).astype(jnp.int32))
+        sign = sign.at[:, s].set(jnp.where(ok, sgn, 0.0))
+        valid = valid.at[:, s].set(ok)
+
+    # -- side passes (reference :5711-5964). Sequential over the 4 side
+    # edges because an intersection replaces the departure point for the
+    # remaining passes (:5960-5963).
+    for v in (0, 1):
+        for side in (0, 1):
+            # edges_on_edge_remap slots (0-based): 0=E1, 1=E2, 2=E3, 3=E4.
+            # V1 pairs with E1 (left) / E3 (right); V2 with E2 / E4.
+            er = {(0, 0): 0, (0, 1): 2, (1, 0): 1, (1, 1): 3}[(v, side)]
+            vr = er + 2                      # far vertex slot V3..V6
+
+            exists = rt.edges_on_edge_remap_mask[:, er] > 0
+            fvx = rt.x_vertex_on_edge[:, vr]
+            fvy = rt.y_vertex_on_edge[:, vr]
+            hit, ipx, ipy = _segment_intersection(
+                dpx_e[:, 0], dpy_e[:, 0], dpx_e[:, 1], dpy_e[:, 1],
+                vx[:, v], vy[:, v], fvx, fvy)
+            hit = hit & exists & mask_edge
+            sgn = 1.0 if side == 0 else -1.0
+            s_a = 4 * v + 2 * side
+            s_b = s_a + 1
+
+            if vertex_degree == 4:
+                # possible split by the colinear edge E5/E6 (:5810-5958)
+                er56 = 4 + v
+                exists56 = rt.edges_on_edge_remap_mask[:, er56] > 0
+                f56x = rt.x_vertex_on_edge[:, 6 + v]   # V7 or V8
+                f56y = rt.y_vertex_on_edge[:, 6 + v]
+                hit0, ip0x, ip0y = _segment_intersection(
+                    dpx_e[:, 0], dpy_e[:, 0], dpx_e[:, 1], dpy_e[:, 1],
+                    vx[:, v], vy[:, v], f56x, f56y)
+                split = hit & hit0 & exists56
+                # triangle a: (V, D, IP) normally; (V, D, IP0) when split.
+                # source cell: C3/C4 (2+v) on own side; the split or a
+                # right-side crossing moves it to C5/C6 (4+v).
+                own = 2 + v if side == 0 else 4 + v
+                other = 4 + v if side == 0 else 2 + v
+                ax, ay = vx[:, v], vy[:, v]
+                bx, by = dpx_e[:, v], dpy_e[:, v]
+                cx = jnp.where(split, ip0x, ipx)
+                cy = jnp.where(split, ip0y, ipy)
+                cs = jnp.where(split, other, own)
+                set_tri(s_a, hit, ax, ay, bx, by, cx, cy, cs, sgn)
+                # triangle b: (V, IP0, IP) on the opposite side of E5/E6
+                cs_b = jnp.full((ne,), own, jnp.int32)
+                set_tri(s_b, split, ax, ay, ip0x, ip0y, ipx, ipy,
+                        cs_b, sgn)
+            else:
+                own = 2 + v                  # hex: always C3/C4
+                set_tri(s_a, hit, vx[:, v], vy[:, v],
+                        dpx_e[:, v], dpy_e[:, v], ipx, ipy,
+                        jnp.full((ne,), own, jnp.int32), sgn)
+
+            # replace departure point with the intersection (:5960-5963)
+            dpx_e = dpx_e.at[:, v].set(jnp.where(hit, ipx, dpx_e[:, v]))
+            dpy_e = dpy_e.at[:, v].set(jnp.where(hit, ipy, dpy_e[:, v]))
+
+    # -- central triangles (reference :5976-6157)
+    hit_m, ip0x, ip0y = _segment_intersection(
+        dpx_e[:, 0], dpy_e[:, 0], dpx_e[:, 1], dpy_e[:, 1],
+        v1x, v1y, v2x, v2y)
+
+    # degenerate-quad filter for the no-intersection branch (:6050-6060)
+    quad_area = (_tri_area(
+        jnp.stack([v1x, v2x, dpx_e[:, 1]], -1),
+        jnp.stack([v1y, v2y, dpy_e[:, 1]], -1)) + _tri_area(
+        jnp.stack([v1x, dpx_e[:, 1], dpx_e[:, 0]], -1),
+        jnp.stack([v1y, dpy_e[:, 1], dpy_e[:, 0]], -1)))
+    quad_ok = quad_area > 0.0
+
+    for v, s in ((0, 8), (1, 9)):
+        in_left = _in_left_half_plane(
+            dpx_e[:, v], dpy_e[:, v], v1x, v1y, v2x, v2y)
+        cs = jnp.where(in_left, 0, 1)        # C1 or C2
+        sgn = jnp.where(in_left, 1.0, -1.0)
+        if v == 0:
+            # intersect: (V1, D1, IP0); else: (V1, V2, D1)
+            ax, ay = v1x, v1y
+            bx = jnp.where(hit_m, dpx_e[:, 0], v2x)
+            by = jnp.where(hit_m, dpy_e[:, 0], v2y)
+            cx = jnp.where(hit_m, ip0x, dpx_e[:, 0])
+            cy = jnp.where(hit_m, ip0y, dpy_e[:, 0])
+        else:
+            # intersect: (V2, D2, IP0); else: (V2, D1, D2)
+            ax, ay = v2x, v2y
+            bx = jnp.where(hit_m, dpx_e[:, 1], dpx_e[:, 0])
+            by = jnp.where(hit_m, dpy_e[:, 1], dpy_e[:, 0])
+            cx = jnp.where(hit_m, ip0x, dpx_e[:, 1])
+            cy = jnp.where(hit_m, ip0y, dpy_e[:, 1])
+        ok = mask_edge & (hit_m | quad_ok)
+        set_tri(s, ok, ax, ay, bx, by, cx, cy, cs, sgn)
+
+    area = _tri_area(tri_x, tri_y) * sign * valid
+    return {"tri_x": tri_x, "tri_y": tri_y, "cell_slot": cell_slot,
+            "area": area, "valid": valid,
+            "mask_edge": mask_edge.astype(dtype)}
+
+
+# vertexOnEdge index (0 or 1) per slot — static by construction
+_VOE_IDX = np.array([0, 0, 0, 0, 1, 1, 1, 1, 0, 1], np.int32)
+
+
+def triangles_to_cell_coords(rt: RemapTensors, tris: dict):
+    """Shift triangle vertices from edge to source-cell coordinates and
+    compute the 6 quadrature points per triangle (reference
+    shift_vertices_of_departure_triangle :6343-6460 planar branch +
+    get_triangle_quadrature_points :6546-6640).
+
+    Planar: translation via the shared vertex, robust across periodic
+    seams: offset = xLocal(cell, sharedVertex) - xVertexOnEdge(sharedVertex).
+    Returns (cell [nE,S], xq, yq [nE,S,6], area [nE,S]).
+    """
+    cell_slot = tris["cell_slot"]                     # [nE, S]
+    e_idx = jnp.arange(cell_slot.shape[0])[:, None]
+    cell = rt.cells_on_edge_remap[e_idx, cell_slot]   # [nE, S]
+    cmask = rt.cells_on_edge_remap_mask[e_idx, cell_slot]
+    voe_i = jnp.asarray(_VOE_IDX)[None, :]            # [1, S]
+    lvi = rt.vertex_on_cell_remap[e_idx, cell_slot, voe_i]  # local idx
+    off_x = rt.x_local[cell, lvi] - rt.x_vertex_on_edge[e_idx, voe_i]
+    off_y = rt.y_local[cell, lvi] - rt.y_vertex_on_edge[e_idx, voe_i]
+    tx = tris["tri_x"] + off_x[..., None]
+    ty = tris["tri_y"] + off_y[..., None]
+    # quadrature points: barycentric combination of the 3 vertices
+    xq = jnp.einsum("qk,esk->esq", rt.qp_coeffs, tx)
+    yq = jnp.einsum("qk,esk->esq", rt.qp_coeffs, ty)
+    area = tris["area"] * cmask
+    return cell, xq, yq, area
+
+
+# -- stage 3: linear reconstruction (reference :3580-5255) --------------------
+
+def _expand(a, extra_dims):
+    """Append `extra_dims` singleton axes."""
+    return a.reshape(a.shape + (1,) * extra_dims)
+
+
+def compute_gradient(rt: RemapTensors, mesh_cells_on_cell,
+                     mesh_cells_on_cell_mask, field, field_mask, mask_cell):
+    """Least-squares cell-center gradient from edge-normal differences
+    (reference compute_gradient_2d/3d, :4204-4630). field: [nCells, ...];
+    returns (gx, gy) of the same shape."""
+    extra = field.ndim - 1
+    coc = mesh_cells_on_cell                        # [nC, K]
+    neigh_ok = mesh_cells_on_cell_mask              # [nC, K]
+    f_n = field[coc]                                # [nC, K, ...]
+    m_n = field_mask[coc]
+    dc = jnp.maximum(rt.dc_edge_on_cell, EPS11)
+    # normal gradient along the C1->C2 edge direction, masked where either
+    # side is not physically meaningful
+    fm_c = jnp.expand_dims(field_mask, 1)           # [nC, 1, ...]
+    ng = (f_n - jnp.expand_dims(field, 1)) / _expand(dc, extra) \
+        * _expand(neigh_ok, extra) * m_n * fm_c
+    # reference sign convention: ng is the gradient component along the
+    # C1->C2 normal, matching the least-squares coeffs' normals
+    esoc = _expand(rt.edge_sign_on_cell, extra)
+    ng = ng * esoc
+    gx = (ng * _expand(rt.coeffs_reconstruct[..., 0], extra)).sum(axis=1)
+    gy = (ng * _expand(rt.coeffs_reconstruct[..., 1], extra)).sum(axis=1)
+    mc = _expand(mask_cell, extra)
+    return gx * mc, gy * mc
+
+
+def limit_gradient(rt: RemapTensors, mesh_cells_on_cell,
+                   mesh_cells_on_cell_mask, field, field_mask,
+                   xb, yb, gx, gy, mask_cell):
+    """Monotone gradient limiter (reference limit_tracer_gradient_2d/3d,
+    :4802-5200): scale the gradient so reconstructed values at cell
+    corners stay within the neighborhood min/max."""
+    extra = field.ndim - 1
+    coc = mesh_cells_on_cell
+    f_n = field[coc]                                # [nC, K, ...]
+    m_n = field_mask[coc] * _expand(
+        mesh_cells_on_cell_mask, extra)
+    max_n = jnp.max(jnp.where(m_n > 0, f_n, -BIG), axis=1)
+    min_n = jnp.min(jnp.where(m_n > 0, f_n, BIG), axis=1)
+    max_n = jnp.maximum(max_n, field) - field
+    min_n = jnp.minimum(min_n, field) - field
+
+    # deviation at cell corners from the barycenter (valid slots only)
+    dx = _expand(rt.x_local, extra) - jnp.expand_dims(xb, 1)
+    dy = _expand(rt.y_local, extra) - jnp.expand_dims(yb, 1)
+    k_ok = _expand(rt.edges_on_cell_mask, extra)
+    dev = (jnp.expand_dims(gx, 1) * dx + jnp.expand_dims(gy, 1) * dy) * k_ok
+    max_l = jnp.maximum(jnp.max(dev, axis=1), 0.0)
+    min_l = jnp.minimum(jnp.min(dev, axis=1), 0.0)
+
+    def factor(local, neigh):
+        need = jnp.abs(local) > jnp.abs(neigh)
+        safe = jnp.where(need, local, 1.0)
+        return jnp.where(need, jnp.maximum(0.0, neigh / safe), 1.0)
+
+    f = jnp.minimum(factor(max_l, max_n), factor(min_l, min_n))
+    f = jnp.maximum(0.0, f - EPS11)                 # roundoff guard (:4975)
+    f = f * _expand(mask_cell, extra)
+    return gx * f, gy * f
+
+
+def barycenter(rt: RemapTensors, depth: int, chain):
+    """Barycenter of mass (depth 1) or mass*tracer (depth 2) distributions,
+    or the cell centroid (depth 0); reference
+    compute_barycenter_coordinates :4658-4797.
+
+    chain: list of (mean, center, gx, gy) for the ancestor chain root-first
+    (length == depth), all [nCells, nCat]-shaped.
+    Returns (xb, yb) with the shape of the chain fields (or [nCells] for
+    depth 0)."""
+    if depth == 0:
+        return _mom(rt, "x"), _mom(rt, "y")
+
+    if depth == 1:
+        (mean0, c0, cx, cy), = chain
+        recip = jnp.where(jnp.abs(mean0) > 0.0, 1.0 / jnp.where(
+            mean0 == 0, 1.0, mean0), 0.0)
+        ex = lambda n: _expand(_mom(rt, n), mean0.ndim - 1)  # noqa: E731
+        xb = (c0 * ex("x") + cx * ex("xx") + cy * ex("xy")) * recip
+        yb = (c0 * ex("y") + cx * ex("xy") + cy * ex("yy")) * recip
+        return xb, yb
+
+    if depth == 2:
+        (mean0, ctr0, gx0, gy0), (mean1, ctr1, gx1, gy1) = chain
+        c0 = ctr0 * ctr1
+        cx = ctr0 * gx1 + gx0 * ctr1
+        cy = ctr0 * gy1 + gy0 * ctr1
+        cxx = gx0 * gx1
+        cxy = gx0 * gy1 + gy0 * gx1
+        cyy = gy0 * gy1
+        prod = mean0 * mean1
+        recip = jnp.where(jnp.abs(prod) > 0.0, 1.0 / jnp.where(
+            prod == 0, 1.0, prod), 0.0)
+        ex = lambda n: _expand(_mom(rt, n), prod.ndim - 1)  # noqa: E731
+        xb = (c0 * ex("x") + cx * ex("xx") + cy * ex("xy") +
+              cxx * ex("xxx") + cxy * ex("xxy") + cyy * ex("xyy")) * recip
+        yb = (c0 * ex("y") + cx * ex("xy") + cy * ex("yy") +
+              cxx * ex("xxy") + cxy * ex("xyy") + cyy * ex("yyy")) * recip
+        return xb, yb
+
+    if depth == 3:
+        # center of mass*tracer1*tracer2 (reference :4755-4793)
+        (mean0, c0_, gx0, gy0), (mean1, c1_, gx1, gy1), \
+            (mean2, c2_, gx2, gy2) = chain
+        c0 = c0_ * c1_ * c2_
+        cx = c0_ * c1_ * gx2 + c0_ * gx1 * c2_ + gx0 * c1_ * c2_
+        cy = c0_ * c1_ * gy2 + c0_ * gy1 * c2_ + gy0 * c1_ * c2_
+        cxx = c0_ * gx1 * gx2 + gx0 * c1_ * gx2 + gx0 * gx1 * c2_
+        cxy = (c0_ * gx1 * gy2 + gx0 * gy1 * c2_ + gy0 * c1_ * gx2 +
+               c0_ * gy1 * gx2 + gx0 * c1_ * gy2 + gy0 * gx1 * c2_)
+        cyy = c0_ * gy1 * gy2 + gy0 * c1_ * gy2 + gy0 * gy1 * c2_
+        cxxx = gx0 * gx1 * gx2
+        cxxy = gx0 * gx1 * gy2 + gx0 * gy1 * gx2 + gy0 * gx1 * gx2
+        cxyy = gy0 * gy1 * gx2 + gy0 * gx1 * gy2 + gx0 * gy1 * gy2
+        cyyy = gy0 * gy1 * gy2
+        prod = mean0 * mean1 * mean2
+        recip = jnp.where(jnp.abs(prod) > 0.0, 1.0 / jnp.where(
+            prod == 0, 1.0, prod), 0.0)
+        ex = lambda n: _expand(_mom(rt, n), prod.ndim - 1)  # noqa: E731
+        xb = (c0 * ex("x") + cx * ex("xx") + cy * ex("xy") +
+              cxx * ex("xxx") + cxy * ex("xxy") + cyy * ex("xyy") +
+              cxxx * ex("xxxx") + cxxy * ex("xxxy") + cxyy * ex("xxyy") +
+              cyyy * ex("xyyy")) * recip
+        yb = (c0 * ex("y") + cx * ex("xy") + cy * ex("yy") +
+              cxx * ex("xxy") + cxy * ex("xyy") + cyy * ex("yyy") +
+              cxxx * ex("xxxy") + cxxy * ex("xxyy") + cxyy * ex("xyyy") +
+              cyyy * ex("yyyy")) * recip
+        return xb, yb
+
+    raise NotImplementedError("barycenters beyond depth 3 (the reference "
+                              "limits children to depth <= 3 as well)")
+
+
+def reconstruct_fields(tree: TracerTree, fields: Dict[str, Any],
+                       masks: Dict[str, Any], mask_cell,
+                       rt: RemapTensors, cells_on_cell, cells_on_cell_mask,
+                       monotonic: bool = True):
+    """Build limited linear reconstructions for every tracer
+    (reference construct_linear_tracer_fields :3580-4200).
+
+    Returns dict name -> {center, gx, gy} plus name -> (xb, yb) barycenters
+    for tracers that have children."""
+    recon = {}
+    barys = {}
+    centroid = (_mom(rt, "x"), _mom(rt, "y"))
+    for spec in tree.specs:
+        f = fields[spec.name]
+        fm = masks[spec.name]
+        gx, gy = compute_gradient(rt, cells_on_cell, cells_on_cell_mask,
+                                  f, fm, mask_cell)
+        # parent barycenter (centroid for the root)
+        if spec.parent is None:
+            pxb = _expand(centroid[0], f.ndim - 1)
+            pyb = _expand(centroid[1], f.ndim - 1)
+        else:
+            pxb, pyb = barys[spec.parent]
+            if f.ndim > pxb.ndim:               # 3D tracer with 2D parent
+                pxb = jnp.expand_dims(pxb, -1)
+                pyb = jnp.expand_dims(pyb, -1)
+        pxb_b = jnp.broadcast_to(pxb, f.shape)
+        pyb_b = jnp.broadcast_to(pyb, f.shape)
+        if monotonic:
+            gx, gy = limit_gradient(rt, cells_on_cell, cells_on_cell_mask,
+                                    f, fm, pxb_b, pyb_b, gx, gy, mask_cell)
+        center = f - gx * pxb_b - gy * pyb_b
+        recon[spec.name] = {"center": center, "gx": gx, "gy": gy}
+
+        if tree.has_child(spec.name):
+            depth = tree.depth(spec.name)
+            chain_names = tree.ancestors(spec.name) + [spec.name]
+            chain = [(fields[n], recon[n]["center"], recon[n]["gx"],
+                      recon[n]["gy"]) for n in chain_names]
+            xb, yb = barycenter(rt, depth + 1, chain)
+            xb = jnp.where(_expand(mask_cell, xb.ndim - 1) > 0, xb, 0.0)
+            yb = jnp.where(_expand(mask_cell, yb.ndim - 1) > 0, yb, 0.0)
+            barys[spec.name] = (xb, yb)
+    return recon
+
+
+# -- stage 4: flux integration (reference :6667-6982) -------------------------
+
+def integrate_fluxes(tree: TracerTree, recon, rt: RemapTensors,
+                     cell, xq, yq, area, mask_edge):
+    """Edge fluxes of mass and mass*tracer products.
+
+    For 2D tracers the per-quad-point product values are kept (parents need
+    them); for 3D (layered) leaf tracers the integral contracts through the
+    parent's three qp moments (1, x, y) — same math, far less memory.
+    Returns dict name -> flux [nEdges, nCat(, nLayers)]."""
+    w = rt.qp_weights                                # [6]
+    me = mask_edge[:, None]
+    fluxes = {}
+    qp_vals = {}                                     # 2D tracers only
+    for spec in tree.specs:
+        r = recon[spec.name]
+        c = r["center"][cell]                        # [nE, S, ...]
+        gx = r["gx"][cell]
+        gy = r["gy"][cell]
+        if c.ndim == 3:                              # 2D tracer
+            val = (c[:, :, None, :] +
+                   gx[:, :, None, :] * xq[..., None] +
+                   gy[:, :, None, :] * yq[..., None])  # [nE,S,6,nCat]
+            if spec.parent is not None:
+                val = val * qp_vals[spec.parent]
+            qp_vals[spec.name] = val
+            integral = jnp.einsum("q,esqc->esc", w, val)
+            flux = (integral * area[..., None]).sum(axis=1) * me
+        else:                                        # 3D layered tracer
+            pval = qp_vals[spec.parent]              # [nE,S,6,nCat]
+            m0 = jnp.einsum("q,esqc->esc", w, pval)
+            mx = jnp.einsum("q,esqc,esq->esc", w, pval, xq)
+            my = jnp.einsum("q,esqc,esq->esc", w, pval, yq)
+            integral = (c * m0[..., None] + gx * mx[..., None] +
+                        gy * my[..., None])          # [nE,S,nCat,nL]
+            flux = (integral * area[..., None, None]).sum(axis=1) \
+                * me[..., None]
+        fluxes[spec.name] = flux
+    return fluxes
+
+
+# -- stage 5: update (reference :7125-7523) -----------------------------------
+
+def mass_tracer_products(tree: TracerTree, fields):
+    """products[t] = mass * t1 * ... * t (root-down;
+    reference compute_mass_tracer_products :6982-7120)."""
+    products = {}
+    for spec in tree.specs:
+        if spec.parent is None:
+            products[spec.name] = fields[spec.name]
+        else:
+            p = products[spec.parent]
+            f = fields[spec.name]
+            if f.ndim > p.ndim:
+                p = jnp.expand_dims(p, -1)
+            products[spec.name] = p * f
+    return products
+
+
+def update_mass_and_tracers(tree: TracerTree, fields, fluxes,
+                            rt: RemapTensors, area_cell):
+    """Flux-divergence update of mass and hierarchical tracer recovery
+    (reference update_mass_and_tracers :7125-7523)."""
+    products = mass_tracer_products(tree, fields)
+    eoc = rt.edges_on_cell                           # [nC, K]
+    new_fields = {}
+    new_products = {}
+    for spec in tree.specs:
+        flux = fluxes[spec.name]
+        extra = flux.ndim - 1
+        f_e = flux[eoc]                              # [nC, K, ...]
+        sgn = _expand(rt.edge_sign_on_cell * (
+            rt.edges_on_cell_mask), extra)
+        div = (f_e * sgn).sum(axis=1) / _expand(area_cell, extra)
+        new_prod = products[spec.name] - div
+        if spec.parent is None:
+            new_fields[spec.name] = new_prod
+            new_products[spec.name] = new_prod
+        else:
+            pp = new_products[spec.parent]
+            if new_prod.ndim > pp.ndim:
+                pp = jnp.expand_dims(pp, -1)
+            val = jnp.where(pp > 0.0, new_prod / jnp.where(
+                pp == 0, 1.0, pp), 0.0)
+            new_fields[spec.name] = val
+            new_products[spec.name] = pp * val
+    return new_fields
+
+
+def zap_small_mass(tree: TracerTree, fields):
+    """Zero out mass below 1e-22 (reference zap_small_mass :8764-8900);
+    tracers riding on zapped mass are zeroed too."""
+    root = tree.root.name
+    m = fields[root]
+    zap = (m > 0.0) & (m < SMALL_MASS)
+    out = dict(fields)
+    out[root] = jnp.where(zap, 0.0, m)
+    for spec in tree.specs[1:]:
+        f = out[spec.name]
+        z = zap if f.ndim == zap.ndim else zap[..., None]
+        out[spec.name] = jnp.where(z, 0.0, f)
+    return out
+
+
+# -- masks (reference make_masks :3404-3570) ----------------------------------
+
+def make_masks(tree: TracerTree, fields, threshold: float = 0.0):
+    """mask_cell [nCells] plus per-tracer physical-meaning masks."""
+    root = tree.root.name
+    mask_cell = (fields[root].sum(axis=1) > 0.0).astype(fields[root].dtype)
+    masks = {root: jnp.ones_like(fields[root])}
+    for spec in tree.specs[1:]:
+        parent = fields[spec.parent]
+        m = (parent > threshold).astype(parent.dtype)
+        if fields[spec.name].ndim > m.ndim:
+            m = jnp.broadcast_to(m[..., None], fields[spec.name].shape)
+        masks[spec.name] = m
+    return mask_cell, masks
+
+
+# -- volume <-> thickness (reference :2500-2544, 2602-2650) -------------------
+
+def to_transport_fields(tree: TracerTree, state: Dict[str, Any]):
+    """Convert product-stored state entries (volumes) to per-area tracers
+    (thickness) for transport."""
+    root = tree.root.name
+    area = state[root]
+    out = {}
+    for spec in tree.specs:
+        f = state[spec.name]
+        if spec.stored_as_product:
+            parent = out[spec.parent] if spec.parent != root else area
+            pa = area if spec.parent == root else state[spec.parent]
+            f = jnp.where(pa > 0.0, f / jnp.where(pa == 0, 1.0, pa), 0.0)
+        out[spec.name] = f
+    return out
+
+
+def from_transport_fields(tree: TracerTree, fields: Dict[str, Any]):
+    """Inverse of to_transport_fields."""
+    root = tree.root.name
+    area = fields[root]
+    out = {}
+    for spec in tree.specs:
+        f = fields[spec.name]
+        if spec.stored_as_product:
+            pa = area if spec.parent == root else out[spec.parent]
+            f = f * pa
+        out[spec.name] = f
+    return out
+
+
+# -- driver -------------------------------------------------------------------
+
+def make_remap_step(tree: TracerTree, vertex_degree: int,
+                    monotonic: bool = True):
+    """Build the jitted IR transport step.
+
+    Returns step(rt, cells_on_cell, cells_on_cell_mask, area_cell,
+                 state, u_vertex, v_vertex, dt) -> new state,
+    where `state` is a dict of tracer arrays in *storage* convention
+    (volumes stored as volumes). Mirrors
+    seaice_run_advection_incremental_remap (reference :2338-2667).
+    """
+    def step(rt: RemapTensors, cells_on_cell, cells_on_cell_mask,
+             area_cell, state, u_vertex, v_vertex, dt):
+        fields = to_transport_fields(tree, state)
+        mask_cell, masks = make_masks(tree, fields)
+        recon = reconstruct_fields(tree, fields, masks, mask_cell, rt,
+                                   cells_on_cell, cells_on_cell_mask,
+                                   monotonic=monotonic)
+        dpx, dpy = departure_points(u_vertex, v_vertex, dt)
+        tris = find_departure_triangles(rt, dpx, dpy, vertex_degree)
+        cell, xq, yq, area = triangles_to_cell_coords(rt, tris)
+        fluxes = integrate_fluxes(tree, recon, rt, cell, xq, yq, area,
+                                  tris["mask_edge"])
+        new_fields = update_mass_and_tracers(tree, fields, fluxes, rt,
+                                             area_cell)
+        new_fields = zap_small_mass(tree, new_fields)
+        return from_transport_fields(tree, new_fields)
+
+    return step
+
+
+# -- runtime self-checks (reference :8126-8266, :8416-8700) -------------------
+
+def global_conserved_sums(tree: TracerTree, state, area_cell):
+    """sum_cells areaCell * massTracerProduct for every tracer — invariant
+    under IR transport up to roundoff (reference conservation check)."""
+    fields = to_transport_fields(tree, state)
+    products = mass_tracer_products(tree, fields)
+    out = {}
+    for name, p in products.items():
+        extra = p.ndim - 1
+        out[name] = (p * _expand(area_cell, extra)).sum()
+    return out

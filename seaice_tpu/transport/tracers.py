@@ -1,0 +1,149 @@
+"""Static tracer hierarchy for incremental remapping.
+
+TPU-native replacement for the reference's linked list of tracer objects
+(`/root/reference/src/shared/mpas_seaice_advection_incremental_remap_tracers.F:30-137`,
+`seaice_add_tracers_to_linked_list` :158): a *static* table of TracerSpec
+rows in topological order (parents before children) driving generic
+vectorized remap kernels, plus a dict-of-arrays state.
+
+Array convention: every tracer field is stored [nCells, nCategories] or
+[nCells, nCategories, nLayers].  The mass-like root (iceAreaCategory) has
+parent None; children reference parents by name.  Monotone remapping of a
+child tracer uses the parent chain exactly as the reference does
+(conservation equations (0)-(3), incremental_remap.F:2710-2721).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerSpec:
+    name: str
+    parent: Optional[str]        # None for the mass-like root
+    n_layers: int = 0            # 0 -> [nCells, nCat]; >0 -> [..., nLayers]
+    # If True the framework state stores area*tracer (a volume); the remap
+    # driver divides by the parent mass before transport and multiplies
+    # back after, mirroring volume_to_thickness / thickness_to_volume
+    # (incremental_remap.F:2500-2544, 2602-2650).
+    stored_as_product: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerTree:
+    """Validated, topologically ordered tracer table."""
+    specs: Tuple[TracerSpec, ...]
+
+    def __post_init__(self):
+        seen = set()
+        for s in self.specs:
+            if s.parent is not None and s.parent not in seen:
+                raise ValueError(
+                    f"tracer {s.name}: parent {s.parent} must precede it")
+            seen.add(s.name)
+        if self.specs and self.specs[0].parent is not None:
+            raise ValueError("first tracer must be the mass-like root")
+
+    @property
+    def names(self) -> List[str]:
+        return [s.name for s in self.specs]
+
+    @property
+    def root(self) -> TracerSpec:
+        return self.specs[0]
+
+    def spec(self, name: str) -> TracerSpec:
+        for s in self.specs:
+            if s.name == name:
+                return s
+        raise KeyError(name)
+
+    def depth(self, name: str) -> int:
+        """Number of ancestors (nParents in the reference)."""
+        d = 0
+        s = self.spec(name)
+        while s.parent is not None:
+            d += 1
+            s = self.spec(s.parent)
+        return d
+
+    def has_child(self, name: str) -> bool:
+        return any(s.parent == name for s in self.specs)
+
+    def ancestors(self, name: str) -> List[str]:
+        """Ancestor names ordered root-first."""
+        chain = []
+        s = self.spec(name)
+        while s.parent is not None:
+            chain.append(s.parent)
+            s = self.spec(s.parent)
+        return chain[::-1]
+
+
+def standard_tracer_tree(n_ice_layers: int = 7, n_snow_layers: int = 1,
+                         use_ice_age: bool = False,
+                         use_first_year_ice: bool = False,
+                         use_level_ice: bool = False,
+                         use_ponds: bool = False,
+                         use_lid_thickness: bool = False,
+                         enthalpy: bool = True) -> TracerTree:
+    """The default hierarchy (reference ..._tracers.F:218-330):
+
+    iceAreaCategory (mass)
+      +- iceVolumeCategory     -> child iceEnthalpy, iceSalinity
+      +- snowVolumeCategory    -> child snowEnthalpy
+      +- surfaceTemperature
+      +- (optional) iceAge, firstYearIceArea, levelIceArea/Volume, ponds
+    """
+    specs = [
+        TracerSpec("iceAreaCategory", None),
+        TracerSpec("iceVolumeCategory", "iceAreaCategory",
+                   stored_as_product=True),
+        TracerSpec("snowVolumeCategory", "iceAreaCategory",
+                   stored_as_product=True),
+        TracerSpec("surfaceTemperature", "iceAreaCategory"),
+    ]
+    if enthalpy:
+        specs += [
+            TracerSpec("iceEnthalpy", "iceVolumeCategory",
+                       n_layers=n_ice_layers),
+            TracerSpec("iceSalinity", "iceVolumeCategory",
+                       n_layers=n_ice_layers),
+            TracerSpec("snowEnthalpy", "snowVolumeCategory",
+                       n_layers=n_snow_layers),
+        ]
+    if use_ice_age:
+        specs.append(TracerSpec("iceAge", "iceAreaCategory"))
+    if use_first_year_ice:
+        specs.append(TracerSpec("firstYearIceArea", "iceAreaCategory"))
+    if use_level_ice:
+        specs.append(TracerSpec("levelIceArea", "iceAreaCategory"))
+        specs.append(TracerSpec("levelIceVolume", "iceAreaCategory"))
+    if use_ponds:
+        if not use_level_ice:
+            raise ValueError("level-ice ponds require level ice tracers")
+        specs.append(TracerSpec("pondArea", "levelIceArea"))
+        specs.append(TracerSpec("pondDepth", "pondArea"))
+        if use_lid_thickness:
+            specs.append(TracerSpec("pondLidThickness", "pondArea"))
+    return TracerTree(tuple(specs))
+
+
+def mass_only_tree() -> TracerTree:
+    return TracerTree((TracerSpec("iceAreaCategory", None),))
+
+
+def init_tracer_state(tree: TracerTree, n_cells: int, n_categories: int,
+                      dtype=jnp.float64) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for s in tree.specs:
+        shape = (n_cells, n_categories)
+        if s.n_layers:
+            shape = shape + (s.n_layers,)
+        out[s.name] = jnp.zeros(shape, dtype)
+    return out

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The ambient axon sitecustomize forces jax_platforms='axon,cpu' regardless
+# of JAX_PLATFORMS; override the config directly so tests really run on
+# the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the EVP step takes minutes to compile on
