@@ -19,3 +19,9 @@ from .vertical import thermo_vertical, frzmlt_bottom_lateral
 from .itd import (category_boundaries, aggregate_area, aggregate_state,
                   linear_itd_remap, ice_strength_hibler,
                   ice_strength_rothrock)
+from .ridging import ridge_ice
+from .atmo import atmo_boundary_layer, atmo_constant_coefficients
+from .shortwave import shortwave_ccsm3
+from .itd_thermo import add_new_ice, lateral_melt
+from .driver import (AtmosForcing, OceanForcing, ColumnFluxes,
+                     ColumnPhysics, slab_ocean_frzmlt)

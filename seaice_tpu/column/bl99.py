@@ -203,8 +203,7 @@ def temperature_changes(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             diag_s = 1.0 + etas * (kh_up + kh_dn)
             if k == 0:
                 sb_cold = -etas * kh_up
-                rhs_cold = Tsn_start * 0.0 + Tsn_init[..., 0] + \
-                    etas * Sswabs[..., 0]
+                rhs_cold = Tsn_init[..., 0] + etas * Sswabs[..., 0]
                 rhs_warm = Tsn_init[..., 0] + etas * kh_up * Tsf + \
                     etas * Sswabs[..., 0]
                 sb = jnp.where(l_cold, sb_cold, 0.0)

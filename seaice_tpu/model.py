@@ -30,6 +30,7 @@ from .dynamics.evp import (DynamicsForcing, DynamicsTensors,
 from .transport import (RemapTensors, TracerTree, build_remap_geometry,
                         make_remap_step, standard_tracer_tree,
                         mass_only_tree)
+from .column.driver import (AtmosForcing, ColumnPhysics, OceanForcing)
 from .utils.pytree import pytree_dataclass, replace
 
 
@@ -82,6 +83,15 @@ class SeaIceModel:
         self.tensors = ModelTensors(
             mesh=mesh_t, dynamics=dyn_t, remap=remap_t,
             area_cell=jnp.asarray(mesh.area_cell, dtype))
+        self.column = None
+        if cfg.column.use_column_package:
+            self.column = ColumnPhysics(
+                cfg.run.n_categories, cfg.run.n_ice_layers,
+                cfg.run.n_snow_layers, kcatbound=cfg.column.kcatbound,
+                kitd=cfg.column.kitd,
+                krdg_partic=cfg.column.krdg_partic,
+                krdg_redist=cfg.column.krdg_redist,
+                natmiter=cfg.column.natmiter)
 
     # -- state ---------------------------------------------------------------
 
@@ -129,11 +139,25 @@ class SeaIceModel:
         dt_dyn = cfg.dynamics_timestep
         n_sub = cfg.velocity.dynamics_subcycle_number
 
+        column = self.column
+        use_column = cfg.column.use_column_package
+        use_ridging = use_column and cfg.column.use_ridging
+
         def step(tensors: ModelTensors, state: State,
-                 forcing: DynamicsForcing):
+                 forcing: DynamicsForcing,
+                 atmos: Optional[AtmosForcing] = None,
+                 ocean: Optional[OceanForcing] = None):
+            """One coupling timestep (reference seaice_timestep,
+            mpas_seaice_time_integration.F:42-175): column pre-dynamics
+            -> (velocity solve -> transport -> ridging) x n_sub ->
+            done."""
             tr = dict(state.tracers)
             vel = state.velocity
             diags = {}
+            fluxes = None
+            if use_column and atmos is not None:
+                tr, fluxes = column.step_thermodynamics(
+                    cfg.run.dt, tr, atmos, ocean)
             for _ in range(n_sub):
                 if cfg.velocity.use_velocity_solver:
                     vel, diags = vel_step(
@@ -145,6 +169,13 @@ class SeaIceModel:
                         tensors.remap, tensors.mesh.cells_on_cell,
                         tensors.mesh.cells_on_cell_mask, tensors.area_cell,
                         tr, vel.u_velocity, vel.v_velocity, dt_dyn)
+                if use_ridging and diags:
+                    tr, rdg = column.step_ridging(
+                        dt_dyn, tr, diags["ridge_convergence"],
+                        diags["ridge_shear"])
+                    diags.update(rdg)
+            if fluxes is not None:
+                diags["column_fluxes"] = fluxes
             new_state = State(velocity=vel, tracers=tr,
                               time=state.time + cfg.run.dt)
             return new_state, diags

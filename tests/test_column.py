@@ -1,0 +1,190 @@
+"""Column physics tests: BL99 thermo energy conservation, growth/melt
+physics sanity, ITD remap conservation — mirroring the reference's
+in-model conservation checks (column_conservation_check, ice_itd.F90:704)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seaice_tpu.column import constants as cc
+from seaice_tpu.column.thermo_shared import (
+    salinity_profile, melting_temperature,
+    ice_enthalpy_from_temperature, ice_temperature_from_enthalpy,
+    snow_enthalpy_from_temperature, snow_temperature_from_enthalpy)
+from seaice_tpu.column.bl99 import temperature_changes
+from seaice_tpu.column.vertical import thermo_vertical
+from seaice_tpu.column import itd
+
+
+NI, NS = 7, 1
+
+
+def _profile_state(nb=4, hin=1.5, hsn=0.1, T0=-5.0):
+    """A plausible mid-winter column state, batched [nb]."""
+    S = salinity_profile(NI)
+    zSin = jnp.asarray(np.tile(S, (nb, 1)))
+    Tmlt = melting_temperature(zSin)
+    zTin = jnp.asarray(np.tile(np.linspace(T0, -2.0, NI), (nb, 1)))
+    zqin = ice_enthalpy_from_temperature(zTin, Tmlt)
+    zTsn = jnp.full((nb, NS), T0)
+    zqsn = snow_enthalpy_from_temperature(zTsn)
+    return zSin, zqin, zTin, zqsn, zTsn
+
+
+def test_enthalpy_roundtrip():
+    S = salinity_profile(NI)
+    Tmlt = melting_temperature(jnp.asarray(S))
+    T = jnp.asarray(np.linspace(-20.0, -0.5, NI))
+    q = ice_enthalpy_from_temperature(T, Tmlt)
+    T2 = ice_temperature_from_enthalpy(q, Tmlt)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T), atol=1e-8)
+    qs = snow_enthalpy_from_temperature(jnp.asarray([-10.0]))
+    np.testing.assert_allclose(
+        float(snow_temperature_from_enthalpy(qs)[0]), -10.0, atol=1e-10)
+
+
+def test_bl99_converges_and_conserves():
+    nb = 4
+    zSin, zqin, zTin, zqsn, zTsn = _profile_state(nb)
+    dt = 3600.0
+    hilyr = jnp.full((nb,), 1.5 / NI)
+    hslyr = jnp.full((nb,), 0.1 / NS)
+    Tsf = jnp.full((nb,), -8.0)
+    Tbot = jnp.full((nb,), -1.8)
+    einit = (hilyr[:, None] * zqin).sum(-1) + (hslyr[:, None] *
+                                               zqsn).sum(-1)
+    # cold clear night: strong radiative cooling
+    res = temperature_changes(
+        dt,
+        rhoa=jnp.full((nb,), 1.3), flw=jnp.full((nb,), 180.0),
+        potT=jnp.full((nb,), 253.0), Qa=jnp.full((nb,), 0.0005),
+        shcoef=jnp.full((nb,), 10.0), lhcoef=jnp.full((nb,), 20.0),
+        fswsfc=jnp.zeros((nb,)), fswint=jnp.zeros((nb,)),
+        Sswabs=jnp.zeros((nb, NS)), Iswabs=jnp.zeros((nb, NI)),
+        hilyr=hilyr, hslyr=hslyr, zqin=zqin, zTin=zTin,
+        zqsn=zqsn, zTsn=zTsn, zSin=zSin, Tsf=Tsf, Tbot=Tbot,
+        einit=einit)
+    assert bool(res.converged.all()), "BL99 failed to converge"
+    # energy conservation: d(column energy)/dt == net boundary flux
+    enew = (hilyr[:, None] * res.zqin).sum(-1) + \
+        (hslyr[:, None] * res.zqsn).sum(-1)
+    lhs = np.asarray((enew - einit) / dt)
+    rhs = np.asarray(res.fcondtopn - res.fcondbot + res.fswint)
+    np.testing.assert_allclose(lhs, rhs, atol=cc.FERRMAX)
+    # cold forcing must cool the surface below the initial -8 C
+    assert float(res.Tsf.max()) < -8.0
+    # temperatures must remain physical
+    assert float(res.zTin.max()) < 0.0
+    assert float(res.zTin.min()) > -40.0
+
+
+def test_thermo_vertical_growth_and_melt():
+    nb = 2
+    zSin, zqin, zTin, zqsn, zTsn = _profile_state(nb)
+    dt = 3600.0
+    aicen = jnp.asarray([0.9, 0.9])
+    vicen = aicen * 1.5
+    vsnon = aicen * 0.1
+    Tsf = jnp.asarray([-8.0, -1.0])
+    # column 0: polar night (growth); column 1: warm + sunny (melt)
+    res = thermo_vertical(
+        dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
+        flw=jnp.asarray([150.0, 340.0]),
+        potT=jnp.asarray([248.0, 278.0]),
+        Qa=jnp.asarray([0.0003, 0.004]),
+        rhoa=jnp.full((nb,), 1.3),
+        fsnow=jnp.zeros((nb,)),
+        # fbot <= 0 is ocean heat melting the bottom; growth needs
+        # fbot = 0 with conduction carrying heat up through the ice
+        fbot=jnp.asarray([0.0, -40.0]),
+        Tbot=jnp.full((nb,), -1.8),
+        fswsfc=jnp.asarray([0.0, 150.0]),
+        fswint=jnp.asarray([0.0, 30.0]),
+        Sswabs=jnp.zeros((nb, NS)),
+        Iswabs=jnp.asarray(np.stack([np.zeros(NI),
+                                     np.full(NI, 30.0 / NI)])),
+        shcoef=jnp.full((nb,), 10.0), lhcoef=jnp.full((nb,), 20.0))
+    assert bool(res.converged.all())
+    hin = np.asarray(res.hin)
+    # growth column thickens (congelation), melt column thins
+    assert float(res.congel[0]) > 0.0
+    assert hin[0] > 1.5
+    assert float(res.meltb[1]) > 0.0 or float(res.meltt[1]) > 0.0
+    assert hin[1] < 1.5
+    # freshwater flux: melting -> positive flux to ocean
+    assert float(res.freshn[1]) > 0.0
+    assert np.isfinite(np.asarray(res.fhocnn)).all()
+
+
+def test_category_boundaries():
+    h = itd.category_boundaries(5)
+    assert h[0] == 0.0
+    assert np.all(np.diff(h) > 0)
+    # Lipscomb 2001 ncat=5 canonical values ~ [0, .64, 1.39, 2.47, 4.57, 9.3]
+    np.testing.assert_allclose(h[1], 0.6445, atol=1e-3)
+    np.testing.assert_allclose(h[5], 9.3338, atol=1e-3)
+
+
+def test_linear_itd_remap_conserves():
+    """Growth shifting ice between categories conserves area-integrated
+    volume, energy, and snow."""
+    rng = np.random.RandomState(3)
+    nb, ncat = 16, 5
+    h = itd.category_boundaries(ncat)
+    mids = 0.5 * (h[:-1] + np.minimum(h[1:], 12.0))
+    aicen0 = jnp.asarray(0.15 * rng.rand(nb, ncat))
+    hicen0 = jnp.asarray(np.tile(mids, (nb, 1)))
+    vicen0 = aicen0 * hicen0
+    # growth: thickness increases ~2 cm in every category
+    dh = jnp.asarray(0.02 + 0.01 * rng.rand(nb, ncat))
+    vicen1 = aicen0 * (hicen0 + dh)
+    vsnon = aicen0 * 0.05
+    S = salinity_profile(NI)
+    tsfc = jnp.asarray(-10.0 + 5 * rng.rand(nb, ncat))
+    qin = ice_enthalpy_from_temperature(
+        jnp.asarray(-8.0 + 4 * rng.rand(nb, ncat, NI)),
+        melting_temperature(jnp.asarray(np.tile(S, (nb, ncat, 1)))))
+    qsn = snow_enthalpy_from_temperature(
+        jnp.asarray(-9.0 + 4 * rng.rand(nb, ncat, NS)))
+
+    out = itd.linear_itd_remap(
+        h, aicen0, vicen0, aicen0, vicen1, vsnon,
+        area_tracers={"surfaceTemperature": tsfc},
+        ice_tracers={"iceEnthalpy": qin,
+                     "iceSalinity": jnp.asarray(np.tile(S,
+                                                        (nb, ncat, 1)))},
+        snow_tracers={"snowEnthalpy": qsn})
+    aicen2, vicen2, vsnon2, at, it_, st = out
+
+    np.testing.assert_allclose(np.asarray(vicen2.sum(-1)),
+                               np.asarray(vicen1.sum(-1)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vsnon2.sum(-1)),
+                               np.asarray(vsnon.sum(-1)), rtol=1e-12)
+    # ice energy conserved: sum over cat of v * mean(q)
+    e0 = np.asarray((vicen1[..., None] * qin).sum(axis=(-2, -1)))
+    e1 = np.asarray((vicen2[..., None] * it_["iceEnthalpy"]).sum(
+        axis=(-2, -1)))
+    np.testing.assert_allclose(e1, e0, rtol=1e-11)
+    # snow energy conserved
+    es0 = np.asarray((vsnon[..., None] * qsn).sum(axis=(-2, -1)))
+    es1 = np.asarray((vsnon2[..., None] * st["snowEnthalpy"]).sum(
+        axis=(-2, -1)))
+    np.testing.assert_allclose(es1, es0, rtol=1e-10)
+    # category thickness bounds respected where ice present
+    hic = np.asarray(vicen2 / np.maximum(np.asarray(aicen2), 1e-30))
+    a2 = np.asarray(aicen2)
+    for n in range(ncat):
+        sel = a2[:, n] > 1e-8
+        if sel.any():
+            assert (hic[sel, n] <= h[n + 1] + 0.05).all()
+            assert (hic[sel, n] >= h[n] - 0.05).all()
+
+
+def test_ice_strength():
+    a = jnp.asarray([0.0, 0.5, 0.95, 1.0])
+    v = jnp.asarray([0.0, 0.5, 2.0, 3.0])
+    p = np.asarray(itd.ice_strength_hibler(a, v))
+    assert p[0] == 0.0
+    assert np.all(np.diff(p) > 0)
+    np.testing.assert_allclose(p[3], 2.75e4 * 3.0, rtol=1e-12)
