@@ -1,0 +1,10 @@
+"""I/O: MPAS mesh reading, checkpoint/restart, output streams.
+
+TPU-native replacement for the PIO/stream-manager layer the reference
+links against (mpass_stream_manager; streams defined in
+Registry.xml:1851-2248)."""
+
+from .mesh_reader import read_mpas_mesh
+from .checkpoint import (save_checkpoint, load_checkpoint,
+                         write_restart_timestamp, read_restart_timestamp)
+from .output import OutputStream

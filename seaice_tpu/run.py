@@ -1,0 +1,190 @@
+"""Standalone run loop.
+
+TPU-native re-design of the reference core lifecycle
+(`mpas_seaice_core.F`: seaice_core_init :34, seaice_core_run :257 with
+its timeLoop :314-371, seaice_core_finalize :414): a host loop that
+advances the clock, pulls interpolated forcing, calls the single jitted
+timestep, services output/restart alarms, and runs the state sanity
+check.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .column.driver import AtmosForcing, OceanForcing, slab_ocean_frzmlt
+from .diagnostics import PhaseTimers, check_state
+from .dynamics.evp import DynamicsForcing
+from .forcing.clock import Alarm, ModelClock
+from .forcing.core import CoreAtmosForcing, NcarOceanForcing
+from .io.checkpoint import save_checkpoint, write_restart_timestamp
+from .io.output import OutputStream
+from .model import SeaIceModel, State
+
+
+@dataclasses.dataclass
+class RunStreams:
+    output: Optional[OutputStream] = None
+    output_interval: float = 86400.0
+    restart_dir: Optional[str] = None
+    restart_interval: float = 5 * 86400.0
+
+
+class StandaloneRunner:
+    """Owns the clock + forcing + model; `run(n_steps)` is the time loop."""
+
+    def __init__(self, model: SeaIceModel, state: State,
+                 atmos_forcing: Optional[CoreAtmosForcing] = None,
+                 ocean_forcing: Optional[NcarOceanForcing] = None,
+                 clock: Optional[ModelClock] = None,
+                 streams: Optional[RunStreams] = None):
+        self.model = model
+        self.state = state
+        self.atmos = atmos_forcing
+        self.ocean = ocean_forcing
+        self.clock = clock or ModelClock()
+        self.streams = streams or RunStreams()
+        self.step_fn = model.make_step()
+        self.timers = PhaseTimers()
+        self._out_alarm = Alarm(self.streams.output_interval)
+        self._restart_alarm = Alarm(self.streams.restart_interval)
+        self.dtype = model.dtype
+
+    # -- forcing assembly ----------------------------------------------------
+
+    def _dynamics_forcing(self, atm: Dict[str, Any],
+                          ocn: Dict[str, Any]) -> DynamicsForcing:
+        nc = self.model.mesh.n_cells
+        dt = self.dtype
+        z = jnp.zeros((nc,), dt)
+
+        def g(d, k, default=None):
+            if d is None or k not in d:
+                return z if default is None else jnp.asarray(default, dt)
+            return jnp.asarray(d[k], dt)
+
+        return DynamicsForcing(
+            u_air_velocity=g(atm, "u_air"),
+            v_air_velocity=g(atm, "v_air"),
+            air_density=jnp.full((nc,), 1.3, dt),
+            u_ocean_velocity=g(ocn, "uOceanVelocity"),
+            v_ocean_velocity=g(ocn, "vOceanVelocity"),
+            sea_surface_tilt_u=g(ocn, "seaSurfaceTiltU"),
+            sea_surface_tilt_v=g(ocn, "seaSurfaceTiltV"),
+            land_ice_mask=z)
+
+    def _column_forcing(self, atm, ocn, dt_step):
+        nc = self.model.mesh.n_cells
+        d = self.dtype
+        one = jnp.ones((nc,), d)
+
+        def g(src, k, default=0.0):
+            if src is None or k not in src:
+                return default * one
+            return jnp.asarray(src[k], d)
+
+        atmf = AtmosForcing(
+            air_temperature=g(atm, "air_temperature", 253.0),
+            specific_humidity=g(atm, "specific_humidity", 0.0005),
+            u_air=g(atm, "u_air"), v_air=g(atm, "v_air"),
+            longwave_down=g(atm, "longwave_down", 180.0),
+            sw_vis_dir=g(atm, "sw_vis_dir"),
+            sw_vis_dif=g(atm, "sw_vis_dif"),
+            sw_ir_dir=g(atm, "sw_ir_dir"),
+            sw_ir_dif=g(atm, "sw_ir_dif"),
+            rain_rate=g(atm, "rain_rate"),
+            snow_rate=g(atm, "snow_rate"),
+            air_density=1.3 * one,
+            air_level_height=10.0 * one)
+        sst = g(ocn, "seaSurfaceTemperature", -1.8)
+        Tf = g(ocn, "seaFreezingTemperature", -1.8)
+        hmix = g(ocn, "oceanMixedLayerDepth", 20.0)
+        ocnf = OceanForcing(
+            sst=sst, sss=g(ocn, "seaSurfaceSalinity", 34.0),
+            freezing_temperature=Tf,
+            frzmlt=slab_ocean_frzmlt(sst, Tf, hmix, dt_step),
+            mixed_layer_depth=hmix)
+        return atmf, ocnf
+
+    # -- time loop (reference timeLoop :314-371) -----------------------------
+
+    def run(self, n_steps: int, check_interval: int = 24):
+        model = self.model
+        dt = model.cfg.run.dt
+        for istep in range(n_steps):
+            # forcing snapshot at current clock (reference
+            # seaice_forcing_get :306)
+            atm_raw = None
+            ocn_raw = None
+            if self.atmos is not None:
+                aice = np.asarray(
+                    self.state.tracers["iceAreaCategory"].sum(-1))
+                if "surfaceTemperature" in self.state.tracers:
+                    tsfc = np.asarray(
+                        self.state.tracers["surfaceTemperature"].max(-1))
+                else:
+                    tsfc = np.zeros_like(aice)
+                sst0 = -1.8 * np.ones_like(aice)
+                if self.ocean is not None:
+                    sst0 = self.ocean.snapshot(self.clock).get(
+                        "seaSurfaceTemperature", sst0)
+                atm_raw = self.atmos.snapshot(self.clock, aice, tsfc,
+                                              sst0)
+            if self.ocean is not None:
+                ocn_raw = self.ocean.snapshot(self.clock)
+
+            dyn_forcing = self._dynamics_forcing(atm_raw, ocn_raw)
+            if model.cfg.column.use_column_package:
+                atmf, ocnf = self._column_forcing(atm_raw, ocn_raw, dt)
+            else:
+                atmf = ocnf = None
+
+            with self.timers.time("timestep"):
+                self.state, diags = self.step_fn(
+                    model.tensors, self.state, dyn_forcing, atmf, ocnf)
+                jax.block_until_ready(self.state.velocity.u_velocity)
+
+            self.clock.advance(dt)
+
+            if (istep + 1) % check_interval == 0:
+                checks = jax.device_get(check_state(self.state))
+                if not bool(checks["ok"]):
+                    failed = [k for k, v in checks.items()
+                              if k != "ok" and not bool(v)]
+                    raise RuntimeError(
+                        f"state check failed at {self.clock.timestamp()}:"
+                        f" {failed}")
+
+            if self.streams.output is not None and \
+                    self._out_alarm.is_ringing(self.clock):
+                self._write_output()
+            if self.streams.restart_dir is not None and \
+                    self._restart_alarm.is_ringing(self.clock):
+                self._write_restart()
+        return self.state
+
+    def _write_output(self):
+        tr = self.state.tracers
+        fields = {
+            "iceAreaCell": np.asarray(tr["iceAreaCategory"].sum(-1)),
+            "iceVolumeCell": np.asarray(tr["iceVolumeCategory"].sum(-1)),
+            "snowVolumeCell": np.asarray(
+                tr["snowVolumeCategory"].sum(-1)),
+            "uVelocity": np.asarray(self.state.velocity.u_velocity),
+            "vVelocity": np.asarray(self.state.velocity.v_velocity),
+        }
+        self.streams.output.write(fields, self.clock.timestamp())
+
+    def _write_restart(self):
+        ts = self.clock.timestamp()
+        path = os.path.join(self.streams.restart_dir,
+                            f"restart.{ts}.npz")
+        save_checkpoint(path, self.state, {
+            "year": self.clock.year, "seconds": self.clock.seconds})
+        write_restart_timestamp(self.streams.restart_dir, ts)

@@ -1,0 +1,67 @@
+"""State checks, conservation monitor, regional stats, timers."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from seaice_tpu.config import box_test_config
+from seaice_tpu.diagnostics import (ConservationMonitor, PhaseTimers,
+                                    check_state, regional_statistics,
+                                    total_budgets)
+from seaice_tpu.model import SeaIceModel
+from seaice_tpu.testcases import box
+
+
+def _state():
+    cfg = box_test_config(elastic_subcycles=2)
+    mesh = box.box_test_mesh(6, 6)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    area, vol, snow = box.box_initial_state(mesh, 1)
+    return model, model.init_state(area, vol, snow)
+
+
+def test_check_state_pass_and_fail():
+    model, state = _state()
+    checks = check_state(state)
+    assert bool(checks["ok"])
+    # corrupt: NaN velocity
+    from seaice_tpu.utils.pytree import replace
+    bad_vel = replace(state.velocity,
+                      u_velocity=state.velocity.u_velocity.at[0].set(
+                          jnp.nan))
+    bad = replace(state, velocity=bad_vel)
+    checks = check_state(bad)
+    assert not bool(checks["ok"])
+    assert not bool(checks["finite_velocity"])
+
+
+def test_total_budgets_and_monitor():
+    model, state = _state()
+    ac = model.tensors.area_cell
+    b = total_budgets(state, ac)
+    assert float(b["ice_mass"]) > 0.0
+    mon = ConservationMonitor(ac)
+    mon.reset(state)
+    errs = mon.errors(state)       # no change, no fluxes -> closure 0
+    assert errs["mass_closure"] < 1e-14
+
+
+def test_regional_statistics():
+    model, state = _state()
+    nc = model.mesh.n_cells
+    region = jnp.asarray((np.arange(nc) % 2), jnp.int32)
+    out = regional_statistics(state, model.tensors.area_cell, region, 2)
+    total = float(out["total_ice_area"].sum())
+    direct = float((state.tracers["iceAreaCategory"].sum(-1) *
+                    model.tensors.area_cell).sum())
+    np.testing.assert_allclose(total, direct, rtol=1e-12)
+
+
+def test_phase_timers():
+    t = PhaseTimers()
+    with t.time("a"):
+        sum(range(1000))
+    with t.time("a"):
+        sum(range(1000))
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
