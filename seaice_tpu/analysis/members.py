@@ -1,0 +1,271 @@
+"""Concrete analysis members (reference `src/analysis_members/`; each
+row of SURVEY.md section 2g). Members compute from the State pytree and
+return plain dicts of arrays/scalars.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as c
+from ..column.thermo_shared import (ice_temperature_from_enthalpy,
+                                    melting_temperature,
+                                    snow_temperature_from_enthalpy)
+from ..diagnostics import (ConservationMonitor, regional_statistics,
+                           total_budgets)
+from .driver import AnalysisMember
+
+
+class HighFrequencyOutputMember(AnalysisMember):
+    """Instantaneous key fields (reference
+    mpas_seaice_high_frequency_output.F)."""
+
+    name = "high_frequency_output"
+
+    def compute(self, model, state, clock):
+        tr = state.tracers
+        return {
+            "iceAreaCellHF": np.asarray(tr["iceAreaCategory"].sum(-1)),
+            "iceVolumeCellHF": np.asarray(
+                tr["iceVolumeCategory"].sum(-1)),
+            "uVelocityHF": np.asarray(state.velocity.u_velocity),
+            "vVelocityHF": np.asarray(state.velocity.v_velocity),
+        }
+
+
+class TemperaturesMember(AnalysisMember):
+    """Layer temperatures from enthalpy/salinity tracers (reference
+    mpas_seaice_temperatures.F)."""
+
+    name = "temperatures"
+
+    def compute(self, model, state, clock):
+        tr = state.tracers
+        out = {}
+        if "iceEnthalpy" in tr and "iceSalinity" in tr:
+            Tmlt = melting_temperature(tr["iceSalinity"])
+            t_ice = ice_temperature_from_enthalpy(tr["iceEnthalpy"],
+                                                  Tmlt)
+            has = tr["iceVolumeCategory"][..., None] > c.PUNY
+            out["iceTemperature"] = np.asarray(
+                jnp.where(has, t_ice, 0.0))
+        if "snowEnthalpy" in tr:
+            t_snow = snow_temperature_from_enthalpy(tr["snowEnthalpy"])
+            has = tr["snowVolumeCategory"][..., None] > c.PUNY
+            out["snowTemperature"] = np.asarray(
+                jnp.where(has, t_snow, 0.0))
+        return out
+
+
+class RegionalStatisticsMember(AnalysisMember):
+    """Region-masked totals (reference
+    mpas_seaice_regional_statistics.F)."""
+
+    name = "regional_statistics"
+
+    def __init__(self, region_mask=None, n_regions: int = 1, **kw):
+        super().__init__(**kw)
+        self.region_mask = region_mask
+        self.n_regions = n_regions
+
+    def init(self, model, state):
+        if self.region_mask is None:
+            self.region_mask = jnp.zeros(
+                (model.mesh.n_cells,), jnp.int32)
+            self.n_regions = 1
+
+    def compute(self, model, state, clock):
+        out = regional_statistics(state, model.tensors.area_cell,
+                                  self.region_mask, self.n_regions)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+class ConservationCheckMember(AnalysisMember):
+    """Global budget closure vs accumulated fluxes (reference
+    mpas_seaice_conservation_check.F:282-496,1915+)."""
+
+    name = "conservation_check"
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.monitor: Optional[ConservationMonitor] = None
+
+    def init(self, model, state):
+        self.monitor = ConservationMonitor(model.tensors.area_cell)
+        self.monitor.reset(state)
+
+    def accumulate(self, fluxes, dt):
+        if self.monitor is not None:
+            self.monitor.accumulate_fluxes(fluxes, dt)
+
+    def compute(self, model, state, clock):
+        errs = self.monitor.errors(state)
+        budgets = {k: float(v) for k, v in
+                   total_budgets(state, model.tensors.area_cell).items()}
+        out = dict(budgets)
+        out.update({f"closure_{k}": v for k, v in errs.items()})
+        self.monitor.reset(state)
+        return out
+
+
+class IcePresenceMember(AnalysisMember):
+    """Binary ice presence (reference mpas_seaice_ice_present.F)."""
+
+    name = "ice_present"
+
+    def compute(self, model, state, clock):
+        a = state.tracers["iceAreaCategory"].sum(-1)
+        return {"icePresent": np.asarray((a > c.PUNY).astype(a.dtype))}
+
+
+class MaximumIcePresenceMember(AnalysisMember):
+    """Running maximum of presence over the run (reference
+    mpas_seaice_maximum_ice_presence.F)."""
+
+    name = "maximum_ice_presence"
+
+    def init(self, model, state):
+        self._max = np.zeros(model.mesh.n_cells)
+
+    def compute(self, model, state, clock):
+        a = np.asarray(state.tracers["iceAreaCategory"].sum(-1))
+        self._max = np.maximum(self._max, (a > c.PUNY).astype(float))
+        return {"maximumIcePresence": self._max.copy()}
+
+
+class AreaVariablesMember(AnalysisMember):
+    """Derived area quantities (reference
+    mpas_seaice_area_variables.F): open-water area, category areas."""
+
+    name = "area_variables"
+
+    def compute(self, model, state, clock):
+        a = state.tracers["iceAreaCategory"]
+        aice = a.sum(-1)
+        return {
+            "iceAreaCell": np.asarray(aice),
+            "openWaterArea": np.asarray(jnp.maximum(1.0 - aice, 0.0)),
+            "iceAreaCategory": np.asarray(a),
+        }
+
+
+class LoadBalanceMember(AnalysisMember):
+    """Owned-cell counts per shard (reference
+    mpas_seaice_load_balance.F); trivial single-device."""
+
+    name = "load_balance"
+
+    def __init__(self, partition=None, **kw):
+        super().__init__(**kw)
+        self.partition = partition
+
+    def compute(self, model, state, clock):
+        if self.partition is None:
+            return {"nCellsProc": np.array([model.mesh.n_cells])}
+        counts = [int((b.cell_global[:b.n_cells_owned] >= 0).sum())
+                  for b in self.partition.blocks]
+        return {"nCellsProc": np.array(counts)}
+
+
+class PointwiseStatsMember(AnalysisMember):
+    """Field values at selected cells (reference
+    mpas_seaice_pointwise_stats.F)."""
+
+    name = "pointwise_stats"
+
+    def __init__(self, cell_indices, **kw):
+        super().__init__(**kw)
+        self.cells = np.asarray(cell_indices)
+
+    def compute(self, model, state, clock):
+        a = np.asarray(state.tracers["iceAreaCategory"].sum(-1))
+        v = np.asarray(state.tracers["iceVolumeCategory"].sum(-1))
+        return {"iceAreaAtPoints": a[self.cells],
+                "iceVolumeAtPoints": v[self.cells]}
+
+
+class TimeSeriesStatsMember(AnalysisMember):
+    """Windowed avg/min/max/sum-of-squares reductions over a field list
+    (reference mpas_seaice_time_series_stats.F + time_series_inc
+    templates; the daily/monthly/climatology instances are separate
+    members with different windows)."""
+
+    name = "time_series_stats"
+
+    def __init__(self, fields=("iceAreaCell", "iceVolumeCell"),
+                 operations=("avg", "min", "max", "sos"), **kw):
+        super().__init__(**kw)
+        self.fields = fields
+        self.operations = operations
+        self._acc: Dict[str, Any] = {}
+        self._n = 0
+
+    def _extract(self, state) -> Dict[str, Any]:
+        tr = state.tracers
+        out = {}
+        if "iceAreaCell" in self.fields:
+            out["iceAreaCell"] = np.asarray(
+                tr["iceAreaCategory"].sum(-1))
+        if "iceVolumeCell" in self.fields:
+            out["iceVolumeCell"] = np.asarray(
+                tr["iceVolumeCategory"].sum(-1))
+        if "uVelocity" in self.fields:
+            out["uVelocity"] = np.asarray(state.velocity.u_velocity)
+        return out
+
+    def precompute(self, model, state, clock):
+        cur = self._extract(state)
+        if not self._acc:
+            for k, v in cur.items():
+                self._acc[f"{k}_sum"] = v.copy()
+                self._acc[f"{k}_min"] = v.copy()
+                self._acc[f"{k}_max"] = v.copy()
+                self._acc[f"{k}_sos"] = v * v
+            self._n = 1
+        else:
+            for k, v in cur.items():
+                self._acc[f"{k}_sum"] += v
+                self._acc[f"{k}_min"] = np.minimum(
+                    self._acc[f"{k}_min"], v)
+                self._acc[f"{k}_max"] = np.maximum(
+                    self._acc[f"{k}_max"], v)
+                self._acc[f"{k}_sos"] += v * v
+            self._n += 1
+
+    def compute(self, model, state, clock):
+        out = {}
+        n = max(self._n, 1)
+        for k in self.fields:
+            if f"{k}_sum" not in self._acc:
+                continue
+            if "avg" in self.operations:
+                out[f"{k}_avg"] = self._acc[f"{k}_sum"] / n
+            if "min" in self.operations:
+                out[f"{k}_min"] = self._acc[f"{k}_min"]
+            if "max" in self.operations:
+                out[f"{k}_max"] = self._acc[f"{k}_max"]
+            if "sos" in self.operations:
+                out[f"{k}_sos"] = self._acc[f"{k}_sos"]
+        self._acc = {}
+        self._n = 0
+        return out
+
+
+def default_members(compute_interval: float = 86400.0
+                    ) -> List[AnalysisMember]:
+    """The default-on member set (reference Registry defaults)."""
+    return [
+        HighFrequencyOutputMember(compute_interval),
+        TemperaturesMember(compute_interval),
+        RegionalStatisticsMember(compute_interval=compute_interval),
+        ConservationCheckMember(compute_interval=compute_interval),
+        IcePresenceMember(compute_interval),
+        MaximumIcePresenceMember(compute_interval),
+        AreaVariablesMember(compute_interval),
+        LoadBalanceMember(compute_interval=compute_interval),
+        TimeSeriesStatsMember(compute_interval=compute_interval),
+    ]

@@ -25,6 +25,8 @@ from ..config import (Config, ConstitutiveRelation, OceanStressType,
 from ..mesh.core import Mesh, MeshTensors, cell_to_vertex
 from ..utils.pytree import pytree_dataclass, replace
 from . import constitutive, variational
+from .weak import WeakTensors, build_weak_tensors, strain_tensor_weak, \
+    stress_divergence_weak
 
 
 @pytree_dataclass
@@ -38,6 +40,9 @@ class DynamicsTensors:
     basis_integrals_metric: Any
     variational_denominator: Any  # [nVertices]
     tan_lat_vertex: Any          # [nVertices] tan(lat)/r metric factor
+    weak: Optional[WeakTensors]  # line-integral scheme tensors
+    area_cell: Any               # [nCells]
+    area_triangle: Any           # [nVertices]
 
 
 def build_dynamics_tensors(mesh: Mesh, cfg: Config,
@@ -55,6 +60,9 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
         include_metric_terms=cfg.velocity.include_metric_terms,
         rotate_cartesian_grid=cfg.velocity.rotate_cartesian_grid,
     )
+    use_weak = (cfg.velocity.strain_scheme == StrainScheme.WEAK or
+                cfg.velocity.stress_divergence_scheme ==
+                StressDivergenceScheme.WEAK)
     return DynamicsTensors(
         mesh=mesh.tensors(dtype),
         basis_gradient_u=jnp.asarray(vb.basis_gradient_u, dtype),
@@ -65,6 +73,9 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
         variational_denominator=jnp.asarray(vb.variational_denominator,
                                             dtype),
         tan_lat_vertex=jnp.asarray(vb.tan_lat_vertex_over_radius, dtype),
+        weak=build_weak_tensors(mesh, dtype) if use_weak else None,
+        area_cell=jnp.asarray(mesh.area_cell, dtype),
+        area_triangle=jnp.asarray(mesh.area_triangle, dtype),
     )
 
 
@@ -227,11 +238,12 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     damping_t = cfg.evp_damping_timescale
     relation = v_cfg.constitutive_relation
 
-    if v_cfg.strain_scheme != StrainScheme.VARIATIONAL or \
-            v_cfg.stress_divergence_scheme != \
-            StressDivergenceScheme.VARIATIONAL:
+    use_weak = v_cfg.strain_scheme == StrainScheme.WEAK
+    if (v_cfg.stress_divergence_scheme == StressDivergenceScheme.WEAK) \
+            != use_weak:
         raise NotImplementedError(
-            "weak scheme not yet implemented; use variational")
+            "mixed weak/variational strain and stress-divergence schemes "
+            "are not supported; choose one scheme for both")
 
     if halo_exchange_vertex is None:
         def halo_exchange_vertex(u, v):
@@ -247,11 +259,21 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         mesh = dyn.mesh
         """One stress evaluation: strain -> constitutive -> divergence
         (reference seaice_internal_stress, velocity_solver.F:2606-2863)."""
-        e11, e22, e12 = variational.strain_tensor(
-            u, v, dyn.tan_lat_vertex, mesh,
-            dyn.basis_gradient_u, dyn.basis_gradient_v)
-        if v_cfg.average_variational_strains:
-            e11, e22, e12 = variational.average_strains(e11, e22, e12, mesh)
+        if use_weak:
+            # weak scheme: cell-centered strains/stresses carried in
+            # corner slot 0 of the stress state arrays
+            e11c, e22c, e12c = strain_tensor_weak(
+                dyn.weak, mesh, u, v, dyn.area_cell, solve_stress_c)
+            e11 = e11c[:, None]
+            e22 = e22c[:, None]
+            e12 = e12c[:, None]
+        else:
+            e11, e22, e12 = variational.strain_tensor(
+                u, v, dyn.tan_lat_vertex, mesh,
+                dyn.basis_gradient_u, dyn.basis_gradient_v)
+            if v_cfg.average_variational_strains:
+                e11, e22, e12 = variational.average_strains(e11, e22, e12,
+                                                            mesh)
 
         ss = solve_stress_c[:, None]
         if relation == ConstitutiveRelation.EVP:
@@ -420,11 +442,16 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             u, v, s11, s22, s12 = carry
             s11, s22, s12, e11, e22, e12, _rp = internal_stress(
                 dyn, u, v, s11, s22, s12, pressure, solve_stress)
-            div_u, div_v = variational.stress_divergence(
-                s11, s22, s12, dyn.tan_lat_vertex, mesh,
-                dyn.basis_integrals_u, dyn.basis_integrals_v,
-                dyn.basis_integrals_metric, dyn.variational_denominator,
-                solve_velocity)
+            if use_weak:
+                div_u, div_v = stress_divergence_weak(
+                    dyn.weak, mesh, s11[:, 0], s22[:, 0], s12[:, 0],
+                    dyn.area_triangle, solve_velocity)
+            else:
+                div_u, div_v = variational.stress_divergence(
+                    s11, s22, s12, dyn.tan_lat_vertex, mesh,
+                    dyn.basis_integrals_u, dyn.basis_integrals_v,
+                    dyn.basis_integrals_metric,
+                    dyn.variational_denominator, solve_velocity)
             ocean_coeff = ocean_stress_coefficient(
                 u, v, uo_v, vo_v, area_vertex, solve_velocity)
             if relation == ConstitutiveRelation.EVP_REVISED:
@@ -444,9 +471,14 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             0, v_cfg.elastic_subcycle_number, body, (u, v, s11, s22, s12))
 
         # --- post-subcycle (reference :3360-3700) ---
-        e11, e22, e12 = variational.strain_tensor(
-            u, v, dyn.tan_lat_vertex, mesh,
-            dyn.basis_gradient_u, dyn.basis_gradient_v)
+        if use_weak:
+            e11c, e22c, e12c = strain_tensor_weak(
+                dyn.weak, mesh, u, v, dyn.area_cell, solve_stress)
+            e11, e22, e12 = e11c[:, None], e22c[:, None], e12c[:, None]
+        else:
+            e11, e22, e12 = variational.strain_tensor(
+                u, v, dyn.tan_lat_vertex, mesh,
+                dyn.basis_gradient_u, dyn.basis_gradient_v)
         div, shear, ridge_conv, ridge_shear = \
             variational.final_divergence_shear(
                 e11, e22, e12, mesh, solve_stress, c.EVP_ECCENTRICITY_SQ)

@@ -49,6 +49,7 @@ class ModelTensors:
     mesh: MeshTensors
     dynamics: DynamicsTensors
     remap: Optional[RemapTensors]
+    upwind: Optional[Any]
     area_cell: Any
 
 
@@ -78,10 +79,14 @@ class SeaIceModel:
         mesh_t = mesh.tensors(dtype)
         dyn_t = build_dynamics_tensors(mesh, cfg, dtype)
         remap_t = None
+        upwind_t = None
         if cfg.advection.advection_type == AdvectionType.INCREMENTAL_REMAP:
             remap_t = build_remap_geometry(mesh).tensors(dtype)
+        elif cfg.advection.advection_type == AdvectionType.UPWIND:
+            from .transport.upwind import build_upwind_tensors
+            upwind_t = build_upwind_tensors(mesh, dtype)
         self.tensors = ModelTensors(
-            mesh=mesh_t, dynamics=dyn_t, remap=remap_t,
+            mesh=mesh_t, dynamics=dyn_t, remap=remap_t, upwind=upwind_t,
             area_cell=jnp.asarray(mesh.area_cell, dtype))
         self.column = None
         if cfg.column.use_column_package:
@@ -132,10 +137,15 @@ class SeaIceModel:
                 self.mesh.dv_edge > 0])))
         use_remap = (cfg.advection.advection_type ==
                      AdvectionType.INCREMENTAL_REMAP)
+        use_upwind = (cfg.advection.advection_type ==
+                      AdvectionType.UPWIND)
         if use_remap:
             remap_step = make_remap_step(
                 tree, self.mesh.vertex_degree,
                 monotonic=cfg.advection.monotonic)
+        if use_upwind:
+            from .transport.upwind import make_upwind_step
+            upwind_step = make_upwind_step(tree)
         dt_dyn = cfg.dynamics_timestep
         n_sub = cfg.velocity.dynamics_subcycle_number
 
@@ -169,6 +179,10 @@ class SeaIceModel:
                         tensors.remap, tensors.mesh.cells_on_cell,
                         tensors.mesh.cells_on_cell_mask, tensors.area_cell,
                         tr, vel.u_velocity, vel.v_velocity, dt_dyn)
+                elif use_upwind:
+                    tr = upwind_step(
+                        tensors.upwind, tensors.area_cell, tr,
+                        vel.u_velocity, vel.v_velocity, dt_dyn)
                 if use_ridging and diags:
                     tr, rdg = column.step_ridging(
                         dt_dyn, tr, diags["ridge_convergence"],

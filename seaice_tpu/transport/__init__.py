@@ -8,3 +8,4 @@ from .geometry import (RemapGeometry, RemapTensors, build_remap_geometry,
 from .remap import (make_remap_step, global_conserved_sums,
                     departure_points, find_departure_triangles,
                     triangles_to_cell_coords, cfl_violations)
+from .upwind import UpwindTensors, build_upwind_tensors, make_upwind_step

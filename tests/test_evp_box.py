@@ -87,3 +87,37 @@ def test_box_evp_stress_convergence(box):
     scale = np.abs(u240).max()
     rms = np.sqrt(np.mean((u120 - u240) ** 2))
     assert rms < 0.2 * scale
+
+
+def test_weak_scheme_box():
+    """Weak (line-integral) scheme: runs and broadly agrees with the
+    variational scheme on the box test."""
+    import dataclasses
+    from seaice_tpu.config import StrainScheme, StressDivergenceScheme
+    from seaice_tpu.model import SeaIceModel
+
+    cfg = box_test_config(elastic_subcycles=8)
+    cfg_w = cfg.replace(velocity=dataclasses.replace(
+        cfg.velocity, strain_scheme=StrainScheme.WEAK,
+        stress_divergence_scheme=StressDivergenceScheme.WEAK))
+    mesh = box_test_mesh(16, 16)
+    mesh.f_vertex = box_coriolis_parameter(mesh)
+    area, vol, snow = box_initial_state(mesh, 1)
+    forcing = box_forcing(mesh, t=0.0)
+
+    results = {}
+    for name, cfg_i in (("var", cfg), ("weak", cfg_w)):
+        model = SeaIceModel(mesh, cfg_i, dtype=jnp.float64)
+        state = model.init_state(area, vol, snow)
+        step = model.make_step()
+        for _ in range(3):
+            state, _ = step(model.tensors, state, forcing)
+        results[name] = np.asarray(state.velocity.u_velocity)
+
+    uw, uv = results["weak"], results["var"]
+    assert np.isfinite(uw).all()
+    assert uw.max() > 0.0
+    # same order of magnitude and correlated: the schemes discretize the
+    # same operator
+    corr = np.corrcoef(uw, uv)[0, 1]
+    assert corr > 0.9, corr
