@@ -45,6 +45,10 @@ class WeakTensors:
 def build_weak_tensors(mesh: Mesh, dtype=jnp.float64) -> WeakTensors:
     """Host-side normal-vector precompute (reference
     seaice_normal_vectors, mpas_seaice_mesh.F:703-1000; planar branch)."""
+    if mesh.on_sphere:
+        raise NotImplementedError(
+            "weak scheme on spherical meshes lands with the spherical "
+            "normal-vector precompute; use the variational scheme")
     nc, me = mesh.n_cells, mesh.max_edges
     nv, vd = mesh.n_vertices, mesh.vertex_degree
     px, py = mesh.period_x, mesh.period_y

@@ -226,7 +226,15 @@ def project_3d_onto_local_2d(points_3d: np.ndarray, center_3d: np.ndarray):
     zhat = np.array([0.0, 0.0, 1.0])
     e1 = np.cross(np.broadcast_to(zhat, r.shape), r)
     n1 = np.linalg.norm(e1, axis=-1, keepdims=True)
-    e1 = e1 / np.maximum(n1, 1e-300)
+    # at the frame poles (r ~ +-z) east/north degenerates; fall back to a
+    # deterministic tangent basis from the x axis (the reference has the
+    # same singularity, placed on the true equator by the grid rotation)
+    xhat = np.array([1.0, 0.0, 0.0])
+    e1_fallback = np.cross(np.broadcast_to(xhat, r.shape), r)
+    nf = np.linalg.norm(e1_fallback, axis=-1, keepdims=True)
+    use_fb = n1 < 1e-6
+    e1 = np.where(use_fb, e1_fallback / np.maximum(nf, 1e-300),
+                  e1 / np.maximum(n1, 1e-300))
     e2 = np.cross(r, e1)
     if center_3d.ndim < points_3d.ndim:
         e1 = np.expand_dims(e1, axis=-2)

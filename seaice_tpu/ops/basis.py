@@ -287,14 +287,40 @@ def compute_variational_basis(
     sv = np.zeros((nc, me, me))
     sm = np.zeros((nc, me, me))
 
+    # spherical: project vertices onto the cell tangent plane in the
+    # (optionally rotated) frame — the reference's spherical local
+    # coordinates (variational_shared.F:191-279, rotation per
+    # seaice_grid_rotation_forward)
+    if mesh.on_sphere:
+        from ..mesh.core import project_3d_onto_local_2d
+        from ..mesh.rotation import grid_rotation_forward
+        voc = mesh.vertices_on_cell
+        valid = voc >= 0
+        voc_safe = np.where(valid, voc, 0)
+        xc, yc, zc = mesh.x_cell, mesh.y_cell, mesh.z_cell
+        xv = mesh.x_vertex[voc_safe]
+        yv = mesh.y_vertex[voc_safe]
+        zv = mesh.z_vertex[voc_safe]
+        if rotate_cartesian_grid:
+            xc, yc, zc = grid_rotation_forward(xc, yc, zc)
+            xv, yv, zv = grid_rotation_forward(xv, yv, zv)
+        center = np.stack([xc, yc, zc], axis=-1)
+        points = np.stack([xv, yv, zv], axis=-1)
+        xl_all, yl_all = project_3d_onto_local_2d(points, center)
+        x_local = np.where(valid, xl_all, 0.0)
+        y_local = np.where(valid, yl_all, 0.0)
+    else:
+        x_local = mesh.x_local
+        y_local = mesh.y_local
+
     for n in np.unique(mesh.n_edges_on_cell):
         if n < 3:
             # degenerate (e.g. padded dummy cells in partitioned local
             # blocks): zero basis
             continue
         sel = np.nonzero(mesh.n_edges_on_cell == n)[0]
-        xl = mesh.x_local[sel, :n]
-        yl = mesh.y_local[sel, :n]
+        xl = x_local[sel, :n]
+        yl = y_local[sel, :n]
         if basis_type == "wachspress":
             g = _wachspress_group(xl, yl, integration_type,
                                   integration_order)

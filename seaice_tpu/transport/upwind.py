@@ -39,23 +39,57 @@ class UpwindTensors:
     edges_on_cell_mask: Any
 
 
-def build_upwind_tensors(mesh: Mesh, dtype=jnp.float64) -> UpwindTensors:
+def build_upwind_tensors(mesh: Mesh, dtype=jnp.float64,
+                         rotate_cartesian_grid: bool = True
+                         ) -> UpwindTensors:
     ne = mesh.n_edges
     coe = mesh.cells_on_edge
     nx = np.zeros(ne)
     ny = np.zeros(ne)
     ok = np.zeros(ne)
-    for e in range(ne):
-        c1, c2 = coe[e]
-        if c1 < 0 or c2 < 0:
-            continue
-        dx = _wrap(mesh.x_cell[c2] - mesh.x_cell[c1], mesh.period_x)
-        dy = _wrap(mesh.y_cell[c2] - mesh.y_cell[c1], mesh.period_y)
-        d = np.hypot(dx, dy)
-        if d <= 0:
-            continue
-        nx[e], ny[e] = dx / d, dy / d
-        ok[e] = 1.0
+    if mesh.on_sphere:
+        # edge normal in the (rotated) local east/north frame at the edge
+        # midpoint: project the cell-center chord onto the tangent plane
+        from ..mesh.rotation import east_north_basis, \
+            grid_rotation_forward
+        xc, yc, zc = mesh.x_cell, mesh.y_cell, mesh.z_cell
+        xe, ye = mesh.x_edge, mesh.y_edge
+        # edge z from the vertex mean (x_edge/y_edge stored 3D for
+        # spherical meshes via sphere.py)
+        ze = getattr(mesh, "z_edge", None)
+        if ze is None:
+            v1 = np.maximum(mesh.vertices_on_edge[:, 0], 0)
+            v2 = np.maximum(mesh.vertices_on_edge[:, 1], 0)
+            ze = 0.5 * (mesh.z_vertex[v1] + mesh.z_vertex[v2])
+        if rotate_cartesian_grid:
+            xc, yc, zc = grid_rotation_forward(xc, yc, zc)
+            xe, ye, ze = grid_rotation_forward(xe, ye, ze)
+        e_b, n_b = east_north_basis(xe, ye, ze)
+        for e in range(ne):
+            c1, c2 = coe[e]
+            if c1 < 0 or c2 < 0:
+                continue
+            d3 = np.array([xc[c2] - xc[c1], yc[c2] - yc[c1],
+                           zc[c2] - zc[c1]])
+            de = d3 @ e_b[e]
+            dn = d3 @ n_b[e]
+            d = np.hypot(de, dn)
+            if d <= 0:
+                continue
+            nx[e], ny[e] = de / d, dn / d
+            ok[e] = 1.0
+    else:
+        for e in range(ne):
+            c1, c2 = coe[e]
+            if c1 < 0 or c2 < 0:
+                continue
+            dx = _wrap(mesh.x_cell[c2] - mesh.x_cell[c1], mesh.period_x)
+            dy = _wrap(mesh.y_cell[c2] - mesh.y_cell[c1], mesh.period_y)
+            d = np.hypot(dx, dy)
+            if d <= 0:
+                continue
+            nx[e], ny[e] = dx / d, dy / d
+            ok[e] = 1.0
     esoc = np.zeros((mesh.n_cells, mesh.max_edges))
     eoc_mask = np.zeros((mesh.n_cells, mesh.max_edges))
     for c in range(mesh.n_cells):
