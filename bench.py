@@ -40,16 +40,17 @@ def main():
     forcing = box.box_forcing(mesh, t=0.0, dtype=dtype)
     step = model.make_step()
 
-    # warmup/compile
+    # warmup/compile; float() forces a device fetch — block_until_ready
+    # alone does not synchronize through the axon TPU tunnel
     state1, _ = step(model.tensors, state, forcing)
-    jax.block_until_ready(state1.velocity.u_velocity)
+    float(jnp.abs(state1.velocity.u_velocity).max())
 
     n_iters = 10
     t0 = time.perf_counter()
     s = state
     for _ in range(n_iters):
         s, _ = step(model.tensors, s, forcing)
-    jax.block_until_ready(s.velocity.u_velocity)
+    float(jnp.abs(s.velocity.u_velocity).max())
     dt = (time.perf_counter() - t0) / n_iters
 
     cells_subcycles_per_s = mesh.n_cells * n_subcycles / dt

@@ -41,6 +41,7 @@ class DynamicsTensors:
     variational_denominator: Any  # [nVertices]
     tan_lat_vertex: Any          # [nVertices] tan(lat)/r metric factor
     weak: Optional[WeakTensors]  # line-integral scheme tensors
+    fast: Optional[Any]          # transposed-layout subcycle tensors
     area_cell: Any               # [nCells]
     area_triangle: Any           # [nVertices]
 
@@ -63,6 +64,10 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
     use_weak = (cfg.velocity.strain_scheme == StrainScheme.WEAK or
                 cfg.velocity.stress_divergence_scheme ==
                 StressDivergenceScheme.WEAK)
+    from .variational_fast import build_fast_tensors
+    fast = None
+    if not use_weak:
+        fast = build_fast_tensors(mesh, vb, dtype)
     return DynamicsTensors(
         mesh=mesh.tensors(dtype),
         basis_gradient_u=jnp.asarray(vb.basis_gradient_u, dtype),
@@ -74,6 +79,7 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
                                             dtype),
         tan_lat_vertex=jnp.asarray(vb.tan_lat_vertex_over_radius, dtype),
         weak=build_weak_tensors(mesh, dtype) if use_weak else None,
+        fast=fast,
         area_cell=jnp.asarray(mesh.area_cell, dtype),
         area_triangle=jnp.asarray(mesh.area_triangle, dtype),
     )
@@ -438,37 +444,81 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
 
         # --- elastic subcycle loop (reference :2447-2592) ---
 
-        def body(_, carry):
-            u, v, s11, s22, s12 = carry
-            s11, s22, s12, e11, e22, e12, _rp = internal_stress(
-                dyn, u, v, s11, s22, s12, pressure, solve_stress)
-            if use_weak:
-                div_u, div_v = stress_divergence_weak(
-                    dyn.weak, mesh, s11[:, 0], s22[:, 0], s12[:, 0],
-                    dyn.area_triangle, solve_velocity)
-            else:
-                div_u, div_v = variational.stress_divergence(
-                    s11, s22, s12, dyn.tan_lat_vertex, mesh,
-                    dyn.basis_integrals_u, dyn.basis_integrals_v,
-                    dyn.basis_integrals_metric,
-                    dyn.variational_denominator, solve_velocity)
+        use_fast = (not use_weak) and dyn.fast is not None and \
+            not v_cfg.average_variational_strains
+        metric = v_cfg.include_metric_terms
+
+        def momentum_update(u, v, div_u, div_v):
             ocean_coeff = ocean_stress_coefficient(
                 u, v, uo_v, vo_v, area_vertex, solve_velocity)
             if relation == ConstitutiveRelation.EVP_REVISED:
-                u, v = solve_velocity_revised_evp(
-                    u, v, u_init, v_init, mass_vertex, mass_f, div_u, div_v,
-                    air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
-                    ocean_coeff, solve_velocity, brlx)
-            else:
-                u, v = solve_velocity_evp(
-                    u, v, mass_vertex, mass_f, div_u, div_v,
-                    air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
-                    ocean_coeff, solve_velocity)
-            u, v = halo_exchange_vertex(u, v)
-            return (u, v, s11, s22, s12)
+                return solve_velocity_revised_evp(
+                    u, v, u_init, v_init, mass_vertex, mass_f, div_u,
+                    div_v, air_u, air_v, tilt_u, tilt_v, ocean_u,
+                    ocean_v, ocean_coeff, solve_velocity, brlx)
+            return solve_velocity_evp(
+                u, v, mass_vertex, mass_f, div_u, div_v,
+                air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
+                ocean_coeff, solve_velocity)
 
-        u, v, s11, s22, s12 = jax.lax.fori_loop(
-            0, v_cfg.elastic_subcycle_number, body, (u, v, s11, s22, s12))
+        if use_fast:
+            # transposed (cell-minor) layout; see variational_fast.py
+            from . import variational_fast as vf
+            ss_T = solve_stress[None, :]
+            p_T = pressure[None, :]
+
+            def body(_, carry):
+                u, v, t11, t22, t12 = carry
+                e11, e22, e12 = vf.strain_tensor_T(dyn.fast, u, v,
+                                                   metric)
+                if relation == ConstitutiveRelation.EVP:
+                    n11, n22, n12, _ = constitutive.evp_stress_update(
+                        t11, t22, t12, e11, e22, e12, p_T, dt_e,
+                        damping_t)
+                elif relation == ConstitutiveRelation.EVP_REVISED:
+                    n11, n22, n12, _ = \
+                        constitutive.evp_stress_update_revised(
+                            t11, t22, t12, e11, e22, e12, p_T)
+                elif relation == ConstitutiveRelation.LINEAR:
+                    n11, n22, n12 = constitutive.linear_stress(
+                        e11, e22, e12)
+                else:
+                    n11, n22, n12 = t11, t22, t12
+                t11 = jnp.where(ss_T > 0, n11, t11)
+                t22 = jnp.where(ss_T > 0, n22, t22)
+                t12 = jnp.where(ss_T > 0, n12, t12)
+                div_u, div_v = vf.stress_divergence_T(
+                    dyn.fast, t11, t22, t12, solve_velocity, metric)
+                u, v = momentum_update(u, v, div_u, div_v)
+                u, v = halo_exchange_vertex(u, v)
+                return (u, v, t11, t22, t12)
+
+            u, v, t11, t22, t12 = jax.lax.fori_loop(
+                0, v_cfg.elastic_subcycle_number, body,
+                (u, v, s11.T, s22.T, s12.T))
+            s11, s22, s12 = t11.T, t22.T, t12.T
+        else:
+            def body(_, carry):
+                u, v, s11, s22, s12 = carry
+                s11, s22, s12, e11, e22, e12, _rp = internal_stress(
+                    dyn, u, v, s11, s22, s12, pressure, solve_stress)
+                if use_weak:
+                    div_u, div_v = stress_divergence_weak(
+                        dyn.weak, mesh, s11[:, 0], s22[:, 0], s12[:, 0],
+                        dyn.area_triangle, solve_velocity)
+                else:
+                    div_u, div_v = variational.stress_divergence(
+                        s11, s22, s12, dyn.tan_lat_vertex, mesh,
+                        dyn.basis_integrals_u, dyn.basis_integrals_v,
+                        dyn.basis_integrals_metric,
+                        dyn.variational_denominator, solve_velocity)
+                u, v = momentum_update(u, v, div_u, div_v)
+                u, v = halo_exchange_vertex(u, v)
+                return (u, v, s11, s22, s12)
+
+            u, v, s11, s22, s12 = jax.lax.fori_loop(
+                0, v_cfg.elastic_subcycle_number, body,
+                (u, v, s11, s22, s12))
 
         # --- post-subcycle (reference :3360-3700) ---
         if use_weak:

@@ -121,3 +121,32 @@ def test_weak_scheme_box():
     # same operator
     corr = np.corrcoef(uw, uv)[0, 1]
     assert corr > 0.9, corr
+
+
+def test_implicit_vp_solver():
+    """JFNK implicit VP solver agrees with well-converged EVP on the box
+    test (a capability beyond the reference, built on jax.jvp + GMRES)."""
+    from seaice_tpu.dynamics.implicit import make_vp_solver
+
+    cfg = box_test_config(elastic_subcycles=240)
+    mesh = box_test_mesh(12, 12)
+    mesh.f_vertex = box_coriolis_parameter(mesh)
+    dyn = build_dynamics_tensors(mesh, cfg, dtype=jnp.float64)
+    area, vol, snow = box_initial_state(mesh, 1)
+    area, vol, snow = map(jnp.asarray, (area, vol, snow))
+    forcing = box_forcing(mesh, t=0.0)
+    state = init_velocity_state(mesh, jnp.float64)
+
+    evp_step = jax.jit(make_velocity_solver(cfg))
+    vp_step = jax.jit(make_vp_solver(cfg, n_newton=12, gmres_iters=40))
+    s_evp = s_vp = state
+    for _ in range(3):
+        s_evp, _ = evp_step(dyn, s_evp, forcing, area, vol, snow)
+        s_vp, d_vp = vp_step(dyn, s_vp, forcing, area, vol, snow)
+    u_evp = np.asarray(s_evp.u_velocity)
+    u_vp = np.asarray(s_vp.u_velocity)
+    assert np.isfinite(u_vp).all()
+    mask = np.abs(u_evp) > 1e-4
+    corr = np.corrcoef(u_evp[mask], u_vp[mask])[0, 1]
+    assert corr > 0.8, corr
+    assert float(d_vp["vp_residual_norm"]) < 10.0
