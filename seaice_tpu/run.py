@@ -153,13 +153,10 @@ class StandaloneRunner:
             self.clock.advance(dt)
 
             if (istep + 1) % check_interval == 0:
-                checks = jax.device_get(check_state(self.state))
-                if not bool(checks["ok"]):
-                    failed = [k for k, v in checks.items()
-                              if k != "ok" and not bool(v)]
-                    raise RuntimeError(
-                        f"state check failed at {self.clock.timestamp()}:"
-                        f" {failed}")
+                from .error import check_critical_error
+                check_critical_error(
+                    self.state, self.clock.timestamp(),
+                    run_dir=self.streams.restart_dir)
 
             if self.streams.output is not None and \
                     self._out_alarm.is_ringing(self.clock):

@@ -65,3 +65,27 @@ def test_phase_timers():
         sum(range(1000))
     assert t.counts["a"] == 2
     assert "a" in t.report()
+
+
+def test_abort_dump(tmp_path):
+    """Failed state checks dump the full state then raise
+    (the reference abort-stream protocol, mpas_seaice_error.F:44-119)."""
+    import pytest
+    from seaice_tpu.error import SeaIceAbort, check_critical_error
+    from seaice_tpu.utils.pytree import replace
+
+    model, state = _state()
+    # healthy state passes silently
+    check_critical_error(state, "0001-01-01_00:00:00", str(tmp_path))
+    # poison it
+    bad_vel = replace(state.velocity,
+                      u_velocity=state.velocity.u_velocity.at[3].set(
+                          jnp.inf))
+    bad = replace(state, velocity=bad_vel)
+    with pytest.raises(SeaIceAbort) as ei:
+        check_critical_error(bad, "0001-01-01_01:00:00", str(tmp_path))
+    assert ei.value.dump_path is not None
+    import os
+    assert os.path.exists(ei.value.dump_path)
+    z = np.load(ei.value.dump_path)
+    assert "velocity.u_velocity" in z.files
