@@ -22,6 +22,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # the ambient axon sitecustomize forces jax_platforms='axon,cpu'
+    # regardless of JAX_PLATFORMS; honor the env var explicitly
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat.split(",")[0])
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

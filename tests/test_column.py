@@ -188,3 +188,40 @@ def test_ice_strength():
     assert p[0] == 0.0
     assert np.all(np.diff(p) > 0)
     np.testing.assert_allclose(p[3], 2.75e4 * 3.0, rtol=1e-12)
+
+
+def test_mushy_relations_roundtrip():
+    """Mushy liquidus/enthalpy/temperature relations are mutually
+    consistent (reference ice_mushy_physics.F90)."""
+    from seaice_tpu.column import mushy
+
+    T = jnp.asarray(np.linspace(-25.0, -0.5, 40))
+    S = jnp.asarray(np.linspace(1.0, 10.0, 40))
+    # T -> q -> T roundtrip
+    q = mushy.enthalpy_mush(T, S)
+    T2 = mushy.temperature_mush(q, S)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T),
+                               atol=1e-6)
+    # liquidus roundtrip: S_br(T_liq(S)) == S
+    sbr = jnp.asarray(np.linspace(5.0, 200.0, 50))
+    tl = mushy.liquidus_temperature(sbr)
+    sbr2 = mushy.liquidus_brine_salinity(tl)
+    np.testing.assert_allclose(np.asarray(sbr2), np.asarray(sbr),
+                               rtol=1e-8)
+    # physical sanity
+    phi = np.asarray(mushy.liquid_fraction(T, S))
+    assert (phi >= 0).all() and (phi <= 1).all()
+    # colder -> less liquid
+    phi_cold = float(mushy.liquid_fraction(jnp.asarray(-20.0),
+                                           jnp.asarray(5.0)))
+    phi_warm = float(mushy.liquid_fraction(jnp.asarray(-2.0),
+                                           jnp.asarray(5.0)))
+    assert phi_cold < phi_warm
+    # conductivity between brine and fresh-ice values
+    km = np.asarray(mushy.conductivity_mush(q, S))
+    assert (km > 0.4).all() and (km < 2.5).all()
+    # enthalpy of melting matches enthalpy at the liquidus temperature
+    qm = mushy.enthalpy_of_melting(S)
+    q_at_liq = mushy.enthalpy_mush(mushy.liquidus_temperature(S), S)
+    np.testing.assert_allclose(np.asarray(qm), np.asarray(q_at_liq),
+                               rtol=1e-6)
