@@ -225,3 +225,53 @@ def test_mushy_relations_roundtrip():
     q_at_liq = mushy.enthalpy_mush(mushy.liquidus_temperature(S), S)
     np.testing.assert_allclose(np.asarray(qm), np.asarray(q_at_liq),
                                rtol=1e-6)
+
+
+def test_mushy_picard_solver():
+    """Mushy Picard heat solve: converges for cold/melting x snow/bare
+    columns with energy closure within ferrmax (reference picard_solver,
+    ice_therm_mushy.F90:1128)."""
+    from seaice_tpu.column.mushy import enthalpy_mush
+    from seaice_tpu.column.mushy_solver import temperature_changes_mushy
+
+    nb = 4
+    S = salinity_profile(NI)
+    zSin = jnp.asarray(np.tile(S, (nb, 1)))
+    zTin = jnp.asarray(np.tile(np.linspace(-8.0, -2.0, NI), (nb, 1)))
+    zqin = enthalpy_mush(zTin, zSin)
+    zqsn = snow_enthalpy_from_temperature(jnp.full((nb, NS), -8.0))
+    dt = 3600.0
+    hilyr = jnp.full((nb,), 1.5 / NI)
+    hslyr = jnp.asarray([0.1, 0.1, 0.0, 0.0])   # snow, snow, bare, bare
+    res = temperature_changes_mushy(
+        dt, rhoa=jnp.full((nb,), 1.3),
+        flw=jnp.asarray([160.0, 320.0, 160.0, 340.0]),
+        potT=jnp.asarray([250.0, 272.0, 250.0, 276.0]),
+        Qa=jnp.asarray([3e-4, 3e-3, 3e-4, 4e-3]),
+        shcoef=jnp.full((nb,), 10.0), lhcoef=jnp.full((nb,), 20.0),
+        fswsfc=jnp.asarray([0.0, 50.0, 0.0, 120.0]),
+        fswint=jnp.asarray([0.0, 10.0, 0.0, 25.0]),
+        Sswabs=jnp.zeros((nb, NS)),
+        Iswabs=jnp.asarray(np.stack(
+            [np.zeros(NI), np.full(NI, 10 / NI),
+             np.zeros(NI), np.full(NI, 25 / NI)])),
+        hilyr=hilyr, hslyr=hslyr, zqin=zqin, zSin=zSin, zqsn=zqsn,
+        Tsf=jnp.asarray([-10.0, -2.0, -10.0, -0.5]),
+        Tbot=jnp.full((nb,), -1.8))
+    assert bool(res.converged.all())
+    # melting columns pin the surface at 0; cold columns cool below start
+    tsf = np.asarray(res.Tsf)
+    assert tsf[1] == 0.0 and tsf[3] == 0.0
+    assert tsf[0] < -10.0 and tsf[2] < -10.0
+    assert float(res.zTin.max()) <= 1e-9
+    # energy closure
+    hil, hsl = np.asarray(hilyr), np.asarray(hslyr)
+    lsnow = hsl > 1e-4
+    e0 = (hil[:, None] * np.asarray(zqin)).sum(-1) + \
+        (hsl[:, None] * np.asarray(zqsn)).sum(-1) * lsnow
+    e1 = (hil[:, None] * np.asarray(res.zqin)).sum(-1) + \
+        (hsl[:, None] * np.asarray(res.zqsn)).sum(-1) * lsnow
+    lhs = (e1 - e0) / dt
+    rhs = np.asarray(res.fcondtopn - res.fcondbot) + \
+        np.asarray([0.0, 10.0, 0.0, 25.0])
+    assert (np.abs(lhs - rhs) < 2e-3).all()
