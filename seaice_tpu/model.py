@@ -81,7 +81,10 @@ class SeaIceModel:
         remap_t = None
         upwind_t = None
         if cfg.advection.advection_type == AdvectionType.INCREMENTAL_REMAP:
-            remap_t = build_remap_geometry(mesh).tensors(dtype)
+            remap_t = build_remap_geometry(
+                mesh,
+                rotate_cartesian_grid=cfg.velocity.rotate_cartesian_grid
+            ).tensors(dtype)
         elif cfg.advection.advection_type == AdvectionType.UPWIND:
             from .transport.upwind import build_upwind_tensors
             upwind_t = build_upwind_tensors(mesh, dtype)

@@ -89,6 +89,7 @@ class RemapGeometry:
     dc_edge_on_cell: np.ndarray = None    # [nCells, maxEdges]
     x_local: np.ndarray = None            # [nCells, maxEdges]
     y_local: np.ndarray = None            # [nCells, maxEdges]
+    edge_to_cell_rot: np.ndarray = None   # [nEdges, 6, 2, 2]
 
     def tensors(self, dtype=jnp.float64) -> "RemapTensors":
         m = self
@@ -119,6 +120,7 @@ class RemapGeometry:
             dc_edge_on_cell=jnp.asarray(m.dc_edge_on_cell, dtype),
             x_local=jnp.asarray(m.x_local, dtype),
             y_local=jnp.asarray(m.y_local, dtype),
+            edge_to_cell_rot=jnp.asarray(m.edge_to_cell_rot, dtype),
         )
 
 
@@ -145,6 +147,7 @@ class RemapTensors:
     dc_edge_on_cell: Any
     x_local: Any
     y_local: Any
+    edge_to_cell_rot: Any
 
     def tree_flatten(self):
         fields = [f.name for f in dataclasses.fields(self)]
@@ -155,10 +158,72 @@ class RemapTensors:
         return cls(**dict(zip(aux, children)))
 
 
-def build_remap_geometry(mesh: Mesh) -> RemapGeometry:
-    if mesh.on_sphere:
-        raise NotImplementedError(
-            "spherical IR geometry lands with the spherical-mesh reader")
+def _spherical_frames(mesh: Mesh, rotate: bool = True):
+    """Rotated tangent-plane frames and local coordinates for spherical
+    IR (replaces the reference's transGlobalToCell /
+    transGlobalToEdge machinery, incremental_remap.F:1105-2332).
+
+    Returns (x_local, y_local [nCells, maxEdges] cell-frame vertex
+    coords; xy_voe [nEdges, 8, 2] edge-frame stencil-vertex coords
+    filled by caller; frame bases) plus a function projecting points
+    into a frame."""
+    from ..mesh.rotation import east_north_basis, grid_rotation_forward
+
+    def rot(x, y, z):
+        return grid_rotation_forward(x, y, z) if rotate else (x, y, z)
+
+    xc, yc, zc = rot(mesh.x_cell, mesh.y_cell, mesh.z_cell)
+    xv, yv, zv = rot(mesh.x_vertex, mesh.y_vertex, mesh.z_vertex)
+    # edge midpoint z from its vertices (generators store 3D coords)
+    v1 = np.maximum(mesh.vertices_on_edge[:, 0], 0)
+    v2 = np.maximum(mesh.vertices_on_edge[:, 1], 0)
+    exyz = np.stack([mesh.x_vertex[v1] + mesh.x_vertex[v2],
+                     mesh.y_vertex[v1] + mesh.y_vertex[v2],
+                     mesh.z_vertex[v1] + mesh.z_vertex[v2]], -1)
+    nrm = np.linalg.norm(exyz, axis=-1, keepdims=True)
+    exyz = exyz / np.maximum(nrm, 1e-300) * mesh.sphere_radius
+    xe, ye, ze = rot(exyz[:, 0], exyz[:, 1], exyz[:, 2])
+
+    e_c, n_c = east_north_basis(xc, yc, zc)     # [nCells, 3]
+    e_e, n_e = east_north_basis(xe, ye, ze)     # [nEdges, 3]
+    cell_pts = np.stack([xc, yc, zc], -1)
+    edge_pts = np.stack([xe, ye, ze], -1)
+    vert_pts = np.stack([xv, yv, zv], -1)
+
+    def to_cell_frame(c_idx, pts):
+        d = pts - cell_pts[c_idx]
+        return (d * e_c[c_idx]).sum(-1), (d * n_c[c_idx]).sum(-1)
+
+    def to_edge_frame(e_idx, pts):
+        d = pts - edge_pts[e_idx]
+        return (d * e_e[e_idx]).sum(-1), (d * n_e[e_idx]).sum(-1)
+
+    # cell-local vertex coordinates
+    voc = mesh.vertices_on_cell
+    valid = voc >= 0
+    voc_safe = np.where(valid, voc, 0)
+    xl, yl = to_cell_frame(
+        np.repeat(np.arange(mesh.n_cells)[:, None], mesh.max_edges, 1),
+        vert_pts[voc_safe])
+    x_local = np.where(valid, xl, 0.0)
+    y_local = np.where(valid, yl, 0.0)
+
+    def edge_to_cell_rot(e_idx, c_idx):
+        """2x2 rotation taking edge-frame components to cell-frame
+        components (tangent planes nearly parallel for neighbors)."""
+        r = np.empty(e_idx.shape + (2, 2))
+        r[..., 0, 0] = (e_c[c_idx] * e_e[e_idx]).sum(-1)
+        r[..., 0, 1] = (e_c[c_idx] * n_e[e_idx]).sum(-1)
+        r[..., 1, 0] = (n_c[c_idx] * e_e[e_idx]).sum(-1)
+        r[..., 1, 1] = (n_c[c_idx] * n_e[e_idx]).sum(-1)
+        return r
+
+    return (x_local, y_local, vert_pts, to_edge_frame, edge_to_cell_rot)
+
+
+def build_remap_geometry(mesh: Mesh,
+                         rotate_cartesian_grid: bool = True
+                         ) -> RemapGeometry:
     ne = mesh.n_edges
     nc = mesh.n_cells
     nv = mesh.n_vertices
@@ -239,21 +304,31 @@ def build_remap_geometry(mesh: Mesh) -> RemapGeometry:
             cells_rm[e, 4] = other_cell(e3, c2)   # C5 (right, shares V1)
             cells_rm[e, 5] = other_cell(e4, c2)   # C6 (right, shares V2)
 
-    # vertex coordinates relative to the edge midpoint (planar path of
-    # reference :1695-1763), with periodic minimum-image wrap
+    # vertex coordinates relative to the edge midpoint: planar path of
+    # reference :1695-1763 with periodic minimum-image wrap; spherical
+    # path projects onto the edge tangent plane in the rotated frame
+    if mesh.on_sphere:
+        (sph_x_local, sph_y_local, vert_pts, to_edge_frame,
+         edge_to_cell_rot_fn) = _spherical_frames(mesh,
+                                                  rotate_cartesian_grid)
+
+        def rel_vertex(e, v):
+            x, y = to_edge_frame(np.array(e), vert_pts[v])
+            return float(x), float(y)
+    else:
+        def rel_vertex(e, v):
+            return (_wrap(mesh.x_vertex[v] - mesh.x_edge[e], px),
+                    _wrap(mesh.y_vertex[v] - mesh.y_edge[e], py))
+
     xvoe = np.zeros((ne, 8))
     yvoe = np.zeros((ne, 8))
     voe_valid = np.zeros((ne, 8), np.int32)
     for e in range(ne):
-        if not remap_edge[e]:
-            # still fill V1/V2 so masks don't matter downstream
-            pass
         v1, v2 = voe[e]
         for k, v in enumerate((v1, v2)):
             if v < 0:
                 continue
-            xvoe[e, k] = _wrap(mesh.x_vertex[v] - mesh.x_edge[e], px)
-            yvoe[e, k] = _wrap(mesh.y_vertex[v] - mesh.y_edge[e], py)
+            xvoe[e, k], yvoe[e, k] = rel_vertex(e, v)
             voe_valid[e, k] = 1
         for j in range(6):
             en = edges_rm[e, j]
@@ -265,9 +340,23 @@ def build_remap_geometry(mesh: Mesh) -> RemapGeometry:
             far = b if a == shared else a
             if far < 0:
                 continue
-            xvoe[e, 2 + j] = _wrap(mesh.x_vertex[far] - mesh.x_edge[e], px)
-            yvoe[e, 2 + j] = _wrap(mesh.y_vertex[far] - mesh.y_edge[e], py)
+            xvoe[e, 2 + j], yvoe[e, 2 + j] = rel_vertex(e, far)
             voe_valid[e, 2 + j] = 1
+
+    # edge-frame -> cell-frame rotation per (edge, remap-cell slot)
+    if mesh.on_sphere:
+        e_idx = np.repeat(np.arange(ne)[:, None], 6, 1)
+        c_safe = np.maximum(cells_rm, 0)
+        e2c_rot = edge_to_cell_rot_fn(e_idx, c_safe)
+        ident = np.zeros((ne, 6, 2, 2))
+        ident[..., 0, 0] = 1.0
+        ident[..., 1, 1] = 1.0
+        e2c_rot = np.where((cells_rm >= 0)[..., None, None], e2c_rot,
+                           ident)
+    else:
+        e2c_rot = np.zeros((ne, 6, 2, 2))
+        e2c_rot[..., 0, 0] = 1.0
+        e2c_rot[..., 1, 1] = 1.0
 
     # local index of V1/V2 within each remap cell's vertex list
     vocr = np.full((ne, 6, 2), -1, np.int32)
@@ -295,8 +384,12 @@ def build_remap_geometry(mesh: Mesh) -> RemapGeometry:
                     min_len[v] = ln
     min_len[~np.isfinite(min_len)] = 0.0
 
-    geom_moments = compute_geometric_moments(mesh)
-    coeffs = least_squares_reconstruction_coeffs(mesh)
+    if mesh.on_sphere:
+        x_local, y_local = sph_x_local, sph_y_local
+    else:
+        x_local, y_local = mesh.x_local, mesh.y_local
+    geom_moments = compute_geometric_moments(mesh, x_local, y_local)
+    coeffs = least_squares_reconstruction_coeffs(mesh, x_local, y_local)
 
     # dcEdge gathered per (cell, edge slot) for gradient reconstruction
     dc_on_cell = np.zeros((nc, me))
@@ -328,12 +421,14 @@ def build_remap_geometry(mesh: Mesh) -> RemapGeometry:
         vertices_on_edge=voe,
         edges_on_cell=eoc,
         dc_edge_on_cell=dc_on_cell,
-        x_local=mesh.x_local,
-        y_local=mesh.y_local,
+        x_local=x_local,
+        y_local=y_local,
+        edge_to_cell_rot=e2c_rot,
     )
 
 
-def compute_geometric_moments(mesh: Mesh) -> np.ndarray:
+def compute_geometric_moments(mesh: Mesh, x_local=None,
+                              y_local=None) -> np.ndarray:
     """Cell-average moments <x>, <y>, <xx> ... <yyyy> in cell-local
     coordinates (reference compute_geometric_cell_averages,
     incremental_remap.F:2097-2323).
@@ -344,7 +439,8 @@ def compute_geometric_moments(mesh: Mesh) -> np.ndarray:
     """
     nc, me = mesh.n_cells, mesh.max_edges
     neoc = mesh.n_edges_on_cell
-    xl, yl = mesh.x_local, mesh.y_local   # [nCells, maxEdges]
+    xl = mesh.x_local if x_local is None else x_local
+    yl = mesh.y_local if y_local is None else y_local
 
     k = np.arange(me)[None, :]
     valid = k < neoc[:, None]
@@ -390,7 +486,8 @@ def compute_geometric_moments(mesh: Mesh) -> np.ndarray:
     return np.stack(mom, axis=1)   # [nCells, 14]
 
 
-def least_squares_reconstruction_coeffs(mesh: Mesh) -> np.ndarray:
+def least_squares_reconstruction_coeffs(mesh: Mesh, x_local=None,
+                                        y_local=None) -> np.ndarray:
     """Per-cell coefficients turning edge-normal gradient components into a
     cell-center gradient vector: grad = sum_k coeffs[c,k,:] * g_k, where
     g_k ~ grad.n_k and n_k is the unit vector from cellsOnEdge[0] to
@@ -399,26 +496,37 @@ def least_squares_reconstruction_coeffs(mesh: Mesh) -> np.ndarray:
     Least-squares fit, exact for linear fields — the TPU-native stand-in
     for the MPAS framework RBF coeffsReconstruct consumed at
     incremental_remap.F:4340-4346.
+
+    Normal directions are built in the cell's own local frame from the
+    edge midpoints: on a Voronoi mesh the cell-center line through an
+    edge passes through its midpoint perpendicular to it, so
+    unit(midpoint) in the cell frame IS the C1->C2 direction (signed by
+    which side the cell is on). This makes the construction frame-
+    agnostic (planar and spherical).
     """
     nc, me = mesh.n_cells, mesh.max_edges
+    xl = mesh.x_local if x_local is None else x_local
+    yl = mesh.y_local if y_local is None else y_local
     coeffs = np.zeros((nc, me, 2))
-    px, py = mesh.period_x, mesh.period_y
     for c in range(nc):
+        ncn = mesh.n_edges_on_cell[c]
         normals = np.zeros((me, 2))
         ok = np.zeros(me, bool)
-        for k in range(mesh.n_edges_on_cell[c]):
+        for k in range(ncn):
             e = mesh.edges_on_cell[c, k]
             if e < 0:
                 continue
             c1, c2 = mesh.cells_on_edge[e]
             if c1 < 0 or c2 < 0:
                 continue
-            dx = _wrap(mesh.x_cell[c2] - mesh.x_cell[c1], px)
-            dy = _wrap(mesh.y_cell[c2] - mesh.y_cell[c1], py)
-            ln = np.hypot(dx, dy)
+            k2 = (k + 1) % ncn
+            mx = 0.5 * (xl[c, k] + xl[c, k2])
+            my = 0.5 * (yl[c, k] + yl[c, k2])
+            ln = np.hypot(mx, my)
             if ln <= 0:
                 continue
-            normals[k] = (dx / ln, dy / ln)
+            sgn = 1.0 if c1 == c else -1.0
+            normals[k] = (sgn * mx / ln, sgn * my / ln)
             ok[k] = True
         if ok.sum() < 2:
             continue

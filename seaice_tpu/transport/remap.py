@@ -273,10 +273,19 @@ def triangles_to_cell_coords(rt: RemapTensors, tris: dict):
     cmask = rt.cells_on_edge_remap_mask[e_idx, cell_slot]
     voe_i = jnp.asarray(_VOE_IDX)[None, :]            # [1, S]
     lvi = rt.vertex_on_cell_remap[e_idx, cell_slot, voe_i]  # local idx
-    off_x = rt.x_local[cell, lvi] - rt.x_vertex_on_edge[e_idx, voe_i]
-    off_y = rt.y_local[cell, lvi] - rt.y_vertex_on_edge[e_idx, voe_i]
-    tx = tris["tri_x"] + off_x[..., None]
-    ty = tris["tri_y"] + off_y[..., None]
+    # rotate edge-frame vectors (relative to the shared vertex) into the
+    # cell frame, then translate: on planar meshes the rotation is the
+    # identity; on the sphere it is the precomputed tangent-frame
+    # rotation (replaces reference shift_vertices basis transforms)
+    R = rt.edge_to_cell_rot[e_idx, cell_slot]         # [nE, S, 2, 2]
+    vx = rt.x_vertex_on_edge[e_idx, voe_i]            # shared vertex
+    vy = rt.y_vertex_on_edge[e_idx, voe_i]
+    dx = tris["tri_x"] - vx[..., None]
+    dy = tris["tri_y"] - vy[..., None]
+    rx = R[..., 0, 0, None] * dx + R[..., 0, 1, None] * dy
+    ry = R[..., 1, 0, None] * dx + R[..., 1, 1, None] * dy
+    tx = rt.x_local[cell, lvi][..., None] + rx
+    ty = rt.y_local[cell, lvi][..., None] + ry
     # quadrature points: barycentric combination of the 3 vertices
     xq = jnp.einsum("qk,esk->esq", rt.qp_coeffs, tx)
     yq = jnp.einsum("qk,esk->esq", rt.qp_coeffs, ty)

@@ -3,6 +3,7 @@ testcases; mesh self-tests seaice_test_rotation / mesh conversions,
 mpas_seaice_mesh.F:2994,3294)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -146,3 +147,110 @@ def test_evp_step_on_sphere(sphere):
                 model.tensors.area_cell).sum())
     # closed sphere: upwind transport conserves total area exactly
     np.testing.assert_allclose(a1, a0, rtol=1e-12)
+
+
+def test_spherical_incremental_remap():
+    """IR transport on the sphere: machine-precision conservation of all
+    mass*tracer products, monotone tracers, and preservation of the mass
+    z-centroid under solid-body rotation about the z axis."""
+    from seaice_tpu.transport import (build_remap_geometry,
+                                      standard_tracer_tree,
+                                      make_remap_step,
+                                      global_conserved_sums)
+
+    m = icosahedral_mesh(3)
+    tree = standard_tracer_tree(n_ice_layers=2, n_snow_layers=1)
+    rt = build_remap_geometry(m, rotate_cartesian_grid=True).tensors()
+    mt = m.tensors(jnp.float64)
+    step = jax.jit(make_remap_step(tree, m.vertex_degree))
+
+    nc, ncat = m.n_cells, 2
+    polar = np.abs(m.lat_cell) > np.deg2rad(55.0)
+    area = np.where(polar[:, None],
+                    0.5 + 0.2 * np.cos(3 * m.lon_cell)[:, None],
+                    0.0) * np.ones((1, ncat))
+    area = np.clip(area, 0, 1)
+    has0 = area[..., None] > 0
+    tsfc = np.where(area > 0, -8.0 + np.sin(m.lon_cell)[:, None], 0.0)
+    state = {
+        "iceAreaCategory": jnp.asarray(area),
+        "iceVolumeCategory": jnp.asarray(area * 2.0),
+        "snowVolumeCategory": jnp.asarray(area * 0.1),
+        "surfaceTemperature": jnp.asarray(tsfc),
+        "iceEnthalpy": jnp.asarray(-2e8 * np.ones((nc, ncat, 2))) * has0,
+        "iceSalinity": jnp.asarray(4.0 * np.ones((nc, ncat, 2))) * has0,
+        "snowEnthalpy": jnp.asarray(-1e8 * np.ones((nc, ncat, 1))) * has0,
+    }
+    # solid-body rotation about the true z axis
+    from seaice_tpu.mesh.rotation import latlon_vector_rotation_forward \
+        as rot_fwd
+    omega_rot = 2e-7
+    u_t = omega_rot * m.sphere_radius * np.cos(m.lat_vertex)
+    u, v = rot_fwd(u_t, np.zeros(m.n_vertices),
+                   m.x_vertex, m.y_vertex, m.z_vertex)
+    u, v = jnp.asarray(u), jnp.asarray(v)
+    ac = jnp.asarray(m.area_cell)
+    s0 = global_conserved_sums(tree, state, ac)
+    zc0 = float((state["iceAreaCategory"].sum(-1) * ac *
+                 jnp.asarray(m.z_cell)).sum() /
+                (state["iceAreaCategory"].sum(-1) * ac).sum())
+    for _ in range(8):
+        state = step(rt, mt.cells_on_cell, mt.cells_on_cell_mask, ac,
+                     state, u, v, 1800.0)
+    s1 = global_conserved_sums(tree, state, ac)
+    for k in s0:
+        rel = abs(float(s1[k] - s0[k])) / max(abs(float(s0[k])), 1e-300)
+        assert rel < 1e-11, (k, rel)
+    a = np.asarray(state["iceAreaCategory"])
+    t = np.asarray(state["surfaceTemperature"])
+    assert np.isfinite(a).all() and a.min() >= -1e-12
+    has = a > 1e-11
+    assert t[has].min() >= tsfc.min() - 1e-6
+    assert t[has].max() <= 1e-9
+    # zonal solid-body rotation must not move mass meridionally
+    zc1 = float((state["iceAreaCategory"].sum(-1) * ac *
+                 jnp.asarray(m.z_cell)).sum() /
+                (state["iceAreaCategory"].sum(-1) * ac).sum())
+    assert abs(zc1 - zc0) / m.sphere_radius < 2e-4, (zc0, zc1)
+
+
+def test_spherical_full_model_with_remap():
+    """Full model step on the sphere with IR transport enabled."""
+    from seaice_tpu.dynamics.evp import DynamicsForcing
+
+    m = icosahedral_mesh(3)
+    cfg = Config(
+        run=RunConfig(dt=1800.0, n_categories=1),
+        velocity=VelocitySolverConfig(
+            elastic_subcycle_number=6, rotate_cartesian_grid=True,
+            include_metric_terms=True, geostrophic_surface_tilt=False),
+        advection=AdvectionConfig(
+            advection_type=AdvectionType.INCREMENTAL_REMAP),
+        column=ColumnConfig(use_column_package=False))
+    model = SeaIceModel(m, cfg, dtype=jnp.float64)
+    polar = np.abs(m.lat_cell) > np.deg2rad(60.0)
+    area = np.where(polar, 0.9, 0.0)[:, None]
+    state = model.init_state(area, area * 2.0, np.zeros_like(area))
+    u_rot, v_rot = latlon_vector_rotation_forward(
+        np.full(m.n_cells, 5.0), np.zeros(m.n_cells),
+        m.x_cell, m.y_cell, m.z_cell)
+    nc = m.n_cells
+    z = jnp.zeros((nc,), jnp.float64)
+    forcing = DynamicsForcing(
+        u_air_velocity=jnp.asarray(u_rot),
+        v_air_velocity=jnp.asarray(v_rot),
+        air_density=jnp.full((nc,), 1.3), u_ocean_velocity=z,
+        v_ocean_velocity=z, sea_surface_tilt_u=z,
+        sea_surface_tilt_v=z, land_ice_mask=z)
+    step = model.make_step()
+    a0 = float((state.tracers["iceAreaCategory"].sum(-1) *
+                model.tensors.area_cell).sum())
+    for _ in range(3):
+        state, _ = step(model.tensors, state, forcing)
+    u = np.asarray(state.velocity.u_velocity)
+    a1 = float((state.tracers["iceAreaCategory"].sum(-1) *
+                model.tensors.area_cell).sum())
+    assert np.isfinite(u).all() and 0 < np.abs(u).max() < 1.0
+    np.testing.assert_allclose(a1, a0, rtol=1e-12)
+    a = np.asarray(state.tracers["iceAreaCategory"])
+    assert a.min() >= -1e-12
