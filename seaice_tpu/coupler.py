@@ -1,0 +1,120 @@
+"""Coupled-driver surface: import/export field dictionaries.
+
+TPU-native re-design of the reference coupler caps (`driver_nuopc/
+ice_import_export.F90`: advertise :126-290, `ice_import` :487,
+`ice_export` :975; MCT analog `driver/ice_comp_mct.F`): a host-side
+field-dict API with the NUOPC standard names, so an external coupler
+(or a Python E3SM/CESM harness) can drive the model with
+`import_state -> step -> export_state`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import constants as c
+from .column.driver import (AtmosForcing, ColumnFluxes, OceanForcing,
+                            slab_ocean_frzmlt)
+from .dynamics.evp import DynamicsForcing
+from .model import State
+
+# NUOPC standard names advertised by the reference cap
+IMPORT_FIELDS = (
+    "So_t", "So_s", "So_u", "So_v", "So_dhdx", "So_dhdy", "Fioo_q",
+    "Sa_z", "Sa_ptem", "Sa_tbot", "Sa_shum", "Sa_dens",
+    "Faxa_swvdr", "Faxa_swvdf", "Faxa_swndr", "Faxa_swndf",
+    "Faxa_lwdn", "Faxa_rain", "Faxa_snow", "Sa_u", "Sa_v")
+EXPORT_FIELDS = (
+    "Si_imask", "Si_ifrac", "Si_t", "Si_vice", "Si_vsno",
+    "Si_avsdr", "Si_avsdf", "Si_anidr", "Si_anidf",
+    "Faii_taux", "Faii_tauy", "Faii_lat", "Faii_sen", "Faii_lwup",
+    "Faii_evap", "Fioi_melth", "Fioi_swpen", "Fioi_meltw",
+    "Fioi_salt", "Fioi_taux", "Fioi_tauy")
+
+
+def import_state(fields: Dict[str, Any], dt: float, dtype=jnp.float64
+                 ) -> Tuple[DynamicsForcing, AtmosForcing, OceanForcing]:
+    """Translate coupler import fields (NUOPC names, [nCells] arrays)
+    into the model forcing containers (reference ice_import :487)."""
+    def g(name, default=0.0):
+        if name in fields:
+            return jnp.asarray(fields[name], dtype)
+        return jnp.full_like(jnp.asarray(fields["So_t"], dtype), default)
+
+    sst = g("So_t")
+    # coupler SST may arrive in Kelvin
+    sst = jnp.where(sst > 200.0, sst - c.FRESH_FREEZING_POINT, sst)
+    sss = g("So_s", 34.0)
+    # linear freezing point of seawater (reference -depressT * sss option)
+    tf = -1.8 * jnp.ones_like(sss)
+    frzmlt = g("Fioo_q")
+    if "Fioo_q" not in fields:
+        frzmlt = slab_ocean_frzmlt(sst, tf, 20.0 * jnp.ones_like(sst),
+                                   dt)
+
+    dyn = DynamicsForcing(
+        u_air_velocity=g("Sa_u"), v_air_velocity=g("Sa_v"),
+        air_density=g("Sa_dens", 1.3),
+        u_ocean_velocity=g("So_u"), v_ocean_velocity=g("So_v"),
+        sea_surface_tilt_u=g("So_dhdx"),
+        sea_surface_tilt_v=g("So_dhdy"),
+        land_ice_mask=jnp.zeros_like(sst))
+    atm = AtmosForcing(
+        air_temperature=g("Sa_ptem", 273.0),
+        specific_humidity=g("Sa_shum", 1e-3),
+        u_air=g("Sa_u"), v_air=g("Sa_v"),
+        longwave_down=g("Faxa_lwdn", 250.0),
+        sw_vis_dir=g("Faxa_swvdr"), sw_vis_dif=g("Faxa_swvdf"),
+        sw_ir_dir=g("Faxa_swndr"), sw_ir_dif=g("Faxa_swndf"),
+        rain_rate=g("Faxa_rain"), snow_rate=g("Faxa_snow"),
+        air_density=g("Sa_dens", 1.3),
+        air_level_height=g("Sa_z", 10.0))
+    ocn = OceanForcing(
+        sst=sst, sss=sss, freezing_temperature=tf, frzmlt=frzmlt,
+        mixed_layer_depth=20.0 * jnp.ones_like(sst))
+    return dyn, atm, ocn
+
+
+def export_state(state: State, fluxes: ColumnFluxes = None,
+                 diags: Dict[str, Any] = None) -> Dict[str, np.ndarray]:
+    """Build the coupler export dict (reference ice_export :975):
+    fractions/states plus atmosphere- and ocean-side fluxes."""
+    tr = state.tracers
+    aice = np.asarray(tr["iceAreaCategory"].sum(-1))
+    out: Dict[str, np.ndarray] = {
+        "Si_imask": (aice > 0).astype(float),
+        "Si_ifrac": aice,
+        "Si_vice": np.asarray(tr["iceVolumeCategory"].sum(-1)),
+        "Si_vsno": np.asarray(tr["snowVolumeCategory"].sum(-1)),
+    }
+    if "surfaceTemperature" in tr:
+        a_cat = np.asarray(tr["iceAreaCategory"])
+        t_cat = np.asarray(tr["surfaceTemperature"])
+        w = np.maximum(aice, 1e-11)
+        out["Si_t"] = (a_cat * t_cat).sum(-1) / w + \
+            c.FRESH_FREEZING_POINT
+    if fluxes is not None:
+        f = fluxes
+        out.update({
+            "Faii_lat": np.asarray(f.flat),
+            "Faii_sen": np.asarray(f.fsens),
+            "Faii_lwup": np.asarray(f.flwout),
+            "Faii_evap": np.asarray(f.evap),
+            "Fioi_melth": np.asarray(f.fhocn),
+            "Fioi_swpen": np.asarray(f.fswthru),
+            "Fioi_meltw": np.asarray(f.fresh),
+            "Fioi_salt": np.asarray(f.fsalt),
+            "Si_avsdr": np.asarray(f.albedo_vis_dir),
+            "Si_avsdf": np.asarray(f.albedo_vis_dif),
+            "Si_anidr": np.asarray(f.albedo_ir_dir),
+            "Si_anidf": np.asarray(f.albedo_ir_dif),
+        })
+    if diags is not None and "ocean_stress_u" in diags:
+        # vertex ocean stress is interpolated to cells by the caller if
+        # needed; export the raw vertex fields under the i2x names
+        out["Fioi_taux"] = np.asarray(diags["ocean_stress_u"])
+        out["Fioi_tauy"] = np.asarray(diags["ocean_stress_v"])
+    return out

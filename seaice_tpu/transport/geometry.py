@@ -237,6 +237,16 @@ def build_remap_geometry(mesh: Mesh,
     voc = mesh.vertices_on_cell
     neoc = mesh.n_edges_on_cell
 
+    # stencil construction: native C++ when available (the loops are
+    # O(nEdges) Python otherwise; see seaice_tpu/native/)
+    from ..native import build_remap_stencil as _native_stencil
+    _nat = _native_stencil(mesh)
+    if _nat is not None:
+        (remap_edge, cells_rm, edges_rm, vocr, min_len, esoc) = _nat
+        return _finish_remap_geometry(
+            mesh, rotate_cartesian_grid, remap_edge, cells_rm, edges_rm,
+            vocr, min_len, esoc)
+
     # remapEdge: edges with both cell neighbors (no-flux at boundaries;
     # reference :1263-1287)
     remap_edge = ((coe[:, 0] >= 0) & (coe[:, 1] >= 0)).astype(np.int32)
@@ -304,60 +314,6 @@ def build_remap_geometry(mesh: Mesh,
             cells_rm[e, 4] = other_cell(e3, c2)   # C5 (right, shares V1)
             cells_rm[e, 5] = other_cell(e4, c2)   # C6 (right, shares V2)
 
-    # vertex coordinates relative to the edge midpoint: planar path of
-    # reference :1695-1763 with periodic minimum-image wrap; spherical
-    # path projects onto the edge tangent plane in the rotated frame
-    if mesh.on_sphere:
-        (sph_x_local, sph_y_local, vert_pts, to_edge_frame,
-         edge_to_cell_rot_fn) = _spherical_frames(mesh,
-                                                  rotate_cartesian_grid)
-
-        def rel_vertex(e, v):
-            x, y = to_edge_frame(np.array(e), vert_pts[v])
-            return float(x), float(y)
-    else:
-        def rel_vertex(e, v):
-            return (_wrap(mesh.x_vertex[v] - mesh.x_edge[e], px),
-                    _wrap(mesh.y_vertex[v] - mesh.y_edge[e], py))
-
-    xvoe = np.zeros((ne, 8))
-    yvoe = np.zeros((ne, 8))
-    voe_valid = np.zeros((ne, 8), np.int32)
-    for e in range(ne):
-        v1, v2 = voe[e]
-        for k, v in enumerate((v1, v2)):
-            if v < 0:
-                continue
-            xvoe[e, k], yvoe[e, k] = rel_vertex(e, v)
-            voe_valid[e, k] = 1
-        for j in range(6):
-            en = edges_rm[e, j]
-            if en < 0:
-                continue
-            # shared vertex with main edge, far vertex of the neighbor
-            shared = v1 if j in (0, 2, 4) else v2
-            a, b = voe[en]
-            far = b if a == shared else a
-            if far < 0:
-                continue
-            xvoe[e, 2 + j], yvoe[e, 2 + j] = rel_vertex(e, far)
-            voe_valid[e, 2 + j] = 1
-
-    # edge-frame -> cell-frame rotation per (edge, remap-cell slot)
-    if mesh.on_sphere:
-        e_idx = np.repeat(np.arange(ne)[:, None], 6, 1)
-        c_safe = np.maximum(cells_rm, 0)
-        e2c_rot = edge_to_cell_rot_fn(e_idx, c_safe)
-        ident = np.zeros((ne, 6, 2, 2))
-        ident[..., 0, 0] = 1.0
-        ident[..., 1, 1] = 1.0
-        e2c_rot = np.where((cells_rm >= 0)[..., None, None], e2c_rot,
-                           ident)
-    else:
-        e2c_rot = np.zeros((ne, 6, 2, 2))
-        e2c_rot[..., 0, 0] = 1.0
-        e2c_rot[..., 1, 1] = 1.0
-
     # local index of V1/V2 within each remap cell's vertex list
     vocr = np.full((ne, 6, 2), -1, np.int32)
     for e in range(ne):
@@ -384,18 +340,6 @@ def build_remap_geometry(mesh: Mesh,
                     min_len[v] = ln
     min_len[~np.isfinite(min_len)] = 0.0
 
-    if mesh.on_sphere:
-        x_local, y_local = sph_x_local, sph_y_local
-    else:
-        x_local, y_local = mesh.x_local, mesh.y_local
-    geom_moments = compute_geometric_moments(mesh, x_local, y_local)
-    coeffs = least_squares_reconstruction_coeffs(mesh, x_local, y_local)
-
-    # dcEdge gathered per (cell, edge slot) for gradient reconstruction
-    dc_on_cell = np.zeros((nc, me))
-    eoc_safe = np.where(eoc >= 0, eoc, 0)
-    dc_on_cell = np.where(eoc >= 0, mesh.dc_edge[eoc_safe], 0.0)
-
     # +-1 orientation of each cell relative to its edges (update step;
     # reference update_mass_and_tracers :7436-7444)
     esoc = np.zeros((nc, me))
@@ -405,6 +349,85 @@ def build_remap_geometry(mesh: Mesh,
             if e < 0:
                 continue
             esoc[c, k] = 1.0 if coe[e, 0] == c else -1.0
+
+    return _finish_remap_geometry(
+        mesh, rotate_cartesian_grid, remap_edge, cells_rm, edges_rm,
+        vocr, min_len, esoc)
+
+
+def _finish_remap_geometry(mesh: Mesh, rotate_cartesian_grid,
+                           remap_edge, cells_rm, edges_rm, vocr,
+                           min_len, esoc) -> RemapGeometry:
+    """Coordinate/moment portion of the geometry build (vectorized;
+    shared between the native and Python stencil paths)."""
+    ne, nc = mesh.n_edges, mesh.n_cells
+    me, vd = mesh.max_edges, mesh.vertex_degree
+    px, py = mesh.period_x, mesh.period_y
+    voe = mesh.vertices_on_edge
+    eoc = mesh.edges_on_cell
+    coe = mesh.cells_on_edge
+
+    # vertex coordinates relative to the edge midpoint: planar path of
+    # reference :1695-1763 with periodic minimum-image wrap; spherical
+    # path projects onto the edge tangent plane in the rotated frame.
+    # The 8-slot stencil vertex table is built fully vectorized.
+    if mesh.on_sphere:
+        (sph_x_local, sph_y_local, vert_pts, to_edge_frame,
+         edge_to_cell_rot_fn) = _spherical_frames(mesh,
+                                                  rotate_cartesian_grid)
+
+        def rel_vertices(e_arr, v_arr):
+            return to_edge_frame(e_arr, vert_pts[np.maximum(v_arr, 0)])
+    else:
+        def rel_vertices(e_arr, v_arr):
+            vs = np.maximum(v_arr, 0)
+            return (_wrap(mesh.x_vertex[vs] - mesh.x_edge[e_arr], px),
+                    _wrap(mesh.y_vertex[vs] - mesh.y_edge[e_arr], py))
+
+    # slot vertex ids: V1, V2, then the far vertices of E1..E6
+    slot_v = np.full((ne, 8), -1, np.int64)
+    slot_v[:, 0] = voe[:, 0]
+    slot_v[:, 1] = voe[:, 1]
+    voe_safe = np.maximum(voe, 0)
+    for j in range(6):
+        en = edges_rm[:, j]
+        en_safe = np.maximum(en, 0)
+        shared = voe[:, 0] if j in (0, 2, 4) else voe[:, 1]
+        a = voe_safe[en_safe, 0]
+        b = voe_safe[en_safe, 1]
+        far = np.where(a == shared, b, a)
+        slot_v[:, 2 + j] = np.where(en >= 0, far, -1)
+    voe_valid = (slot_v >= 0).astype(np.int32)
+    e_grid = np.repeat(np.arange(ne)[:, None], 8, axis=1)
+    xs, ys = rel_vertices(e_grid, slot_v)
+    xvoe = np.where(voe_valid > 0, xs, 0.0)
+    yvoe = np.where(voe_valid > 0, ys, 0.0)
+
+    # edge-frame -> cell-frame rotation per (edge, remap-cell slot)
+    if mesh.on_sphere:
+        e_idx = np.repeat(np.arange(ne)[:, None], 6, 1)
+        c_safe = np.maximum(cells_rm, 0)
+        e2c_rot = edge_to_cell_rot_fn(e_idx, c_safe)
+        ident = np.zeros((ne, 6, 2, 2))
+        ident[..., 0, 0] = 1.0
+        ident[..., 1, 1] = 1.0
+        e2c_rot = np.where((cells_rm >= 0)[..., None, None], e2c_rot,
+                           ident)
+    else:
+        e2c_rot = np.zeros((ne, 6, 2, 2))
+        e2c_rot[..., 0, 0] = 1.0
+        e2c_rot[..., 1, 1] = 1.0
+
+    if mesh.on_sphere:
+        x_local, y_local = sph_x_local, sph_y_local
+    else:
+        x_local, y_local = mesh.x_local, mesh.y_local
+    geom_moments = compute_geometric_moments(mesh, x_local, y_local)
+    coeffs = least_squares_reconstruction_coeffs(mesh, x_local, y_local)
+
+    # dcEdge gathered per (cell, edge slot) for gradient reconstruction
+    eoc_safe = np.where(eoc >= 0, eoc, 0)
+    dc_on_cell = np.where(eoc >= 0, mesh.dc_edge[eoc_safe], 0.0)
 
     return RemapGeometry(
         remap_edge=remap_edge,

@@ -107,3 +107,68 @@ def test_special_boundaries():
     assert float(u3[0]) == 5.0 and float(u3[1]) == 1.0
     tr = apply_tracer_boundaries(sb2, state.tracers)
     assert float(tr["iceAreaCategory"][0, 0]) == 0.123
+
+
+def test_coupler_import_export():
+    """Coupled-driver surface: NUOPC-named import dict -> forcing
+    containers -> step -> export dict (reference
+    ice_import_export.F90:126-290,487,975)."""
+    from seaice_tpu.config import Config, RunConfig, VelocitySolverConfig
+    from seaice_tpu.coupler import (EXPORT_FIELDS, IMPORT_FIELDS,
+                                    export_state, import_state)
+
+    cfg = Config(run=RunConfig(dt=1800.0),
+                 velocity=VelocitySolverConfig(
+                     elastic_subcycle_number=2,
+                     rotate_cartesian_grid=False,
+                     include_metric_terms=False,
+                     geostrophic_surface_tilt=False))
+    mesh = box.box_test_mesh(6, 6)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    nc = mesh.n_cells
+    ncat = cfg.run.n_categories
+    area = np.full((nc, ncat), 0.15)
+    mids = 0.5 * (model.column.hin_max[:-1] +
+                  np.minimum(model.column.hin_max[1:], 10.0))
+    state = model.init_state(area, area * mids, area * 0.02)
+    from seaice_tpu.column.thermo_shared import (
+        salinity_profile, melting_temperature,
+        ice_enthalpy_from_temperature, snow_enthalpy_from_temperature)
+    S = salinity_profile(cfg.run.n_ice_layers)
+    tr = dict(state.tracers)
+    tr["surfaceTemperature"] = jnp.full((nc, ncat), -10.0)
+    tr["iceEnthalpy"] = ice_enthalpy_from_temperature(
+        jnp.full((nc, ncat, cfg.run.n_ice_layers), -8.0),
+        melting_temperature(jnp.asarray(np.tile(S, (nc, ncat, 1)))))
+    tr["iceSalinity"] = jnp.asarray(np.tile(S, (nc, ncat, 1)))
+    tr["snowEnthalpy"] = snow_enthalpy_from_temperature(
+        jnp.full((nc, ncat, 1), -10.0))
+    from seaice_tpu.utils.pytree import replace
+    state = replace(state, tracers=tr)
+
+    x2i = {
+        "So_t": np.full(nc, 271.3),        # Kelvin: must be converted
+        "So_s": np.full(nc, 34.0),
+        "Sa_ptem": np.full(nc, 252.0), "Sa_tbot": np.full(nc, 252.0),
+        "Sa_shum": np.full(nc, 4e-4), "Sa_dens": np.full(nc, 1.3),
+        "Sa_u": np.full(nc, 5.0), "Sa_v": np.full(nc, 1.0),
+        "Faxa_lwdn": np.full(nc, 170.0),
+        "Faxa_swvdr": np.full(nc, 5.0), "Faxa_swvdf": np.full(nc, 5.0),
+        "Faxa_swndr": np.full(nc, 4.0), "Faxa_swndf": np.full(nc, 4.0),
+        "Faxa_rain": np.zeros(nc), "Faxa_snow": np.full(nc, 1e-5),
+        "Sa_z": np.full(nc, 10.0),
+    }
+    assert set(x2i) <= set(IMPORT_FIELDS)
+    dyn, atm, ocn = import_state(x2i, cfg.run.dt)
+    assert float(ocn.sst[0]) < 0.0        # Kelvin -> Celsius conversion
+
+    step = model.make_step()
+    state, diags = step(model.tensors, state, dyn, atm, ocn)
+    i2x = export_state(state, diags.get("column_fluxes"), diags)
+    for k in ("Si_ifrac", "Si_vice", "Si_t", "Fioi_melth",
+              "Fioi_meltw", "Faii_sen", "Si_avsdr"):
+        assert k in i2x and np.isfinite(i2x[k]).all(), k
+    assert set(i2x) <= set(EXPORT_FIELDS)
+    assert i2x["Si_ifrac"].max() <= 1.0 + 1e-9
+    assert i2x["Si_t"].max() < 273.15     # Kelvin export below freezing

@@ -233,3 +233,29 @@ def test_tracer_hierarchy_recovery():
     vol = np.asarray(out["iceVolumeCategory"])
     has = a > 1e-11
     np.testing.assert_allclose(vol[has] / a[has], h, rtol=1e-10)
+
+
+def test_native_stencil_matches_python():
+    """The C++ remap-stencil builder must reproduce the Python reference
+    implementation exactly (seaice_tpu/native/remap_stencil.cpp)."""
+    from seaice_tpu import native
+    import seaice_tpu.transport.geometry as G
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    for mesh in (planar_quad_mesh(10, 10, 1000.0, periodic=True),
+                 planar_hex_mesh(8, 8, 1000.0, periodic=True)):
+        g_nat = G.build_remap_geometry(mesh)
+        lib, failed = native._lib, native._build_failed
+        native._lib, native._build_failed = None, True
+        try:
+            g_py = G.build_remap_geometry(mesh)
+        finally:
+            native._lib, native._build_failed = lib, failed
+        for f in ("remap_edge", "cells_on_edge_remap",
+                  "edges_on_edge_remap", "vertex_on_cell_remap",
+                  "min_length_edges_on_vertex", "edge_sign_on_cell",
+                  "x_vertex_on_edge", "y_vertex_on_edge"):
+            a = np.asarray(getattr(g_nat, f))
+            b = np.asarray(getattr(g_py, f))
+            assert np.array_equal(a, b), f
