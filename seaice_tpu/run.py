@@ -114,22 +114,31 @@ class StandaloneRunner:
 
     # -- time loop (reference timeLoop :314-371) -----------------------------
 
-    def run(self, n_steps: int, check_interval: int = 24):
+    def run(self, n_steps: int, check_interval: int = 24,
+            forcing_state_interval: int = 6):
+        """forcing_state_interval: steps between refreshes of the
+        ice-state fields feeding the derived-forcing formulas (the
+        Rosati-Miyakoda longwave uses aice/Tsfc); per-step device
+        fetches through the TPU tunnel dominate the host loop
+        otherwise, and the longwave feedback is slow."""
         model = self.model
         dt = model.cfg.run.dt
+        aice = tsfc = None
         for istep in range(n_steps):
             # forcing snapshot at current clock (reference
             # seaice_forcing_get :306)
             atm_raw = None
             ocn_raw = None
             if self.atmos is not None:
-                aice = np.asarray(
-                    self.state.tracers["iceAreaCategory"].sum(-1))
-                if "surfaceTemperature" in self.state.tracers:
-                    tsfc = np.asarray(
-                        self.state.tracers["surfaceTemperature"].max(-1))
-                else:
-                    tsfc = np.zeros_like(aice)
+                if aice is None or istep % forcing_state_interval == 0:
+                    aice = np.asarray(
+                        self.state.tracers["iceAreaCategory"].sum(-1))
+                    if "surfaceTemperature" in self.state.tracers:
+                        tsfc = np.asarray(
+                            self.state.tracers[
+                                "surfaceTemperature"].max(-1))
+                    else:
+                        tsfc = np.zeros_like(aice)
                 sst0 = -1.8 * np.ones_like(aice)
                 if self.ocean is not None:
                     sst0 = self.ocean.snapshot(self.clock).get(

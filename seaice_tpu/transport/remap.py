@@ -480,40 +480,97 @@ def reconstruct_fields(tree: TracerTree, fields: Dict[str, Any],
 
 
 # -- stage 4: flux integration (reference :6667-6982) -------------------------
+#
+# TPU redesign of integrate_fluxes_over_triangles: instead of carrying
+# per-quad-point product value arrays ([nEdges, slots, 6, nCat] per
+# tracer — the reference structure), each tracer's mass*tracer product
+# is represented by its POLYNOMIAL COEFFICIENTS in the cell frame
+# (products of linear reconstructions are polynomials of degree <=
+# chain length; coefficient products are computed cellwise), and the
+# triangle integrals of the monomials are computed once per (edge,
+# slot). Same finite quadrature sum, reassociated — results match the
+# reference formulation to roundoff.
+
+# monomial exponents up to degree 4 (covers mass*t1*t2*t3 chains)
+_MONOMIALS = [(0, 0), (1, 0), (0, 1),
+              (2, 0), (1, 1), (0, 2),
+              (3, 0), (2, 1), (1, 2), (0, 3),
+              (4, 0), (3, 1), (2, 2), (1, 3), (0, 4)]
+_MONO_IDX = {m: i for i, m in enumerate(_MONOMIALS)}
+
+
+def _poly_mul_linear(poly: dict, c, gx, gy):
+    """Multiply a monomial-coefficient dict by (c + gx*x + gy*y)."""
+    out = {}
+    for (i, j), a in poly.items():
+        for (di, dj), b in (((0, 0), c), ((1, 0), gx), ((0, 1), gy)):
+            key = (i + di, j + dj)
+            term = a * b
+            out[key] = out.get(key, 0.0) + term
+    return out
+
+
+def triangle_monomial_integrals(rt: RemapTensors, xq, yq,
+                                max_degree: int):
+    """mom[e, s, m] = sum_q w_q x_q^i y_q^j for monomials up to
+    max_degree (exact for the same polynomials the reference's 6-point
+    degree-4 rule integrates exactly)."""
+    terms = [m for m in _MONOMIALS if m[0] + m[1] <= max_degree]
+    w = rt.qp_weights
+    cols = []
+    for (i, j) in terms:
+        v = jnp.einsum("q,esq->es", w, (xq ** i) * (yq ** j))
+        cols.append(v)
+    return jnp.stack(cols, axis=-1), terms            # [nE, S, M]
+
 
 def integrate_fluxes(tree: TracerTree, recon, rt: RemapTensors,
                      cell, xq, yq, area, mask_edge):
     """Edge fluxes of mass and mass*tracer products.
-
-    For 2D tracers the per-quad-point product values are kept (parents need
-    them); for 3D (layered) leaf tracers the integral contracts through the
-    parent's three qp moments (1, x, y) — same math, far less memory.
     Returns dict name -> flux [nEdges, nCat(, nLayers)]."""
-    w = rt.qp_weights                                # [6]
     me = mask_edge[:, None]
+    max_depth = max(tree.depth(s.name) for s in tree.specs)
+    mom, terms = triangle_monomial_integrals(rt, xq, yq,
+                                             max_degree=max_depth + 1)
+    term_idx = {m: i for i, m in enumerate(terms)}
+    # shifted-moment lookup for the 3D path: index of monomial*x, *y
     fluxes = {}
-    qp_vals = {}                                     # 2D tracers only
+    polys = {}                       # 2D tracers: coeff dicts (cellwise)
     for spec in tree.specs:
         r = recon[spec.name]
-        c = r["center"][cell]                        # [nE, S, ...]
-        gx = r["gx"][cell]
-        gy = r["gy"][cell]
-        if c.ndim == 3:                              # 2D tracer
-            val = (c[:, :, None, :] +
-                   gx[:, :, None, :] * xq[..., None] +
-                   gy[:, :, None, :] * yq[..., None])  # [nE,S,6,nCat]
-            if spec.parent is not None:
-                val = val * qp_vals[spec.parent]
-            qp_vals[spec.name] = val
-            integral = jnp.einsum("q,esqc->esc", w, val)
+        c0, gx, gy = r["center"], r["gx"], r["gy"]
+        if c0.ndim == 2:                             # 2D tracer
+            if spec.parent is None:
+                poly = {(0, 0): c0, (1, 0): gx, (0, 1): gy}
+            else:
+                poly = _poly_mul_linear(polys[spec.parent], c0, gx, gy)
+            polys[spec.name] = poly
+            # stack coefficients [nCells, nCat, M'] and gather once
+            keys = sorted(poly.keys(), key=lambda m: term_idx[m])
+            coeff = jnp.stack([poly[k] for k in keys], axis=-1)
+            sel = jnp.asarray([term_idx[k] for k in keys])
+            g = coeff[cell]                          # [nE, S, nCat, M']
+            integral = jnp.einsum("escm,esm->esc", g, mom[..., sel])
             flux = (integral * area[..., None]).sum(axis=1) * me
         else:                                        # 3D layered tracer
-            pval = qp_vals[spec.parent]              # [nE,S,6,nCat]
-            m0 = jnp.einsum("q,esqc->esc", w, pval)
-            mx = jnp.einsum("q,esqc,esq->esc", w, pval, xq)
-            my = jnp.einsum("q,esqc,esq->esc", w, pval, yq)
-            integral = (c * m0[..., None] + gx * mx[..., None] +
-                        gy * my[..., None])          # [nE,S,nCat,nL]
+            ppoly = polys[spec.parent]
+            # P0/Px/Py = parent integral and its x/y-shifted moments
+            keys = sorted(ppoly.keys(), key=lambda m: term_idx[m])
+            coeff = jnp.stack([ppoly[k] for k in keys], axis=-1)
+            g = coeff[cell]                          # [nE, S, nCat, Mp]
+            sel0 = jnp.asarray([term_idx[k] for k in keys])
+            selx = jnp.asarray([term_idx[(k[0] + 1, k[1])]
+                                for k in keys])
+            sely = jnp.asarray([term_idx[(k[0], k[1] + 1)]
+                                for k in keys])
+            P0 = jnp.einsum("escm,esm->esc", g, mom[..., sel0])
+            Px = jnp.einsum("escm,esm->esc", g, mom[..., selx])
+            Py = jnp.einsum("escm,esm->esc", g, mom[..., sely])
+            c3 = c0[cell]                            # [nE, S, nCat, nL]
+            gx3 = gx[cell]
+            gy3 = gy[cell]
+            integral = (c3 * P0[..., None] + gx3 * Px[..., None] +
+                        gy3 * Py[..., None])
             flux = (integral * area[..., None, None]).sum(axis=1) \
                 * me[..., None]
         fluxes[spec.name] = flux
