@@ -25,3 +25,10 @@ from .shortwave import shortwave_ccsm3
 from .itd_thermo import add_new_ice, lateral_melt
 from .driver import (AtmosForcing, OceanForcing, ColumnFluxes,
                      ColumnPhysics, slab_ocean_frzmlt)
+from . import mushy
+from .mushy_solver import temperature_changes_mushy
+from .zerolayer import zerolayer_temperature
+from . import snow
+from .aerosol import update_aerosol
+from .bgc import init_skl_bgc, step_skl_bgc, SklBgcState
+from .ponds import compute_ponds_cesm, increment_age, update_first_year_area

@@ -35,9 +35,10 @@ def latlon_from_xyz(x, y, z):
 
 
 def east_north_basis(x, y, z):
-    """Unit east/north vectors at points on the sphere ([..., 3] each)."""
+    """Unit east/north vectors at points on the sphere ([..., 3] each).
+    Zero-length inputs (padded dummy entries) yield zero bases."""
     p = np.stack([x, y, z], axis=-1)
-    p = p / np.linalg.norm(p, axis=-1, keepdims=True)
+    p = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-300)
     zhat = np.array([0.0, 0.0, 1.0])
     e = np.cross(np.broadcast_to(zhat, p.shape), p)
     n = np.linalg.norm(e, axis=-1, keepdims=True)

@@ -275,3 +275,134 @@ def test_mushy_picard_solver():
     rhs = np.asarray(res.fcondtopn - res.fcondbot) + \
         np.asarray([0.0, 10.0, 0.0, 25.0])
     assert (np.abs(lhs - rhs) < 2e-3).all()
+
+
+def test_zerolayer_temperature():
+    """0-layer surface balance (ktherm=0, reference ice_therm_0layer):
+    cold forcing cools the surface; equilibrium satisfies
+    fsurf = kh (Tsf - Tbot)."""
+    from seaice_tpu.column.zerolayer import (KSEAICE_0LAYER,
+                                             zerolayer_temperature)
+    from seaice_tpu.column import constants as c0
+
+    nb = 3
+    res = zerolayer_temperature(
+        3600.0,
+        rhoa=jnp.full((nb,), 1.3),
+        flw=jnp.asarray([160.0, 300.0, 340.0]),
+        potT=jnp.asarray([250.0, 270.0, 278.0]),
+        Qa=jnp.asarray([3e-4, 2e-3, 4e-3]),
+        shcoef=jnp.full((nb,), 10.0), lhcoef=jnp.full((nb,), 20.0),
+        fswsfc=jnp.asarray([0.0, 30.0, 150.0]),
+        hilyr=jnp.full((nb,), 1.5), hslyr=jnp.asarray([0.1, 0.1, 0.0]),
+        Tsf=jnp.full((nb,), -5.0), Tbot=jnp.full((nb,), -1.8))
+    assert bool(res.converged.all())
+    tsf = np.asarray(res.Tsf)
+    assert tsf[0] < -15.0          # polar night cools strongly
+    assert tsf[2] == 0.0 or tsf[2] > -1.0   # warm sunny -> near melting
+    # balance residual at the solution (cold columns)
+    kratio = KSEAICE_0LAYER / c0.KSNO
+    heff = 1.5 + kratio * np.array([0.1, 0.1, 0.0])
+    kh = KSEAICE_0LAYER / heff
+    res_bal = np.asarray(res.fsurfn) - kh * (tsf - (-1.8))
+    assert abs(res_bal[0]) < 0.5    # W/m^2
+
+
+def test_snow_physics():
+    """Snow metamorphism/drainage/wind (reference ice_snow.F90)."""
+    from seaice_tpu.column import snow as sn
+
+    nb, ncat, ns = 4, 2, 1
+    rsnw = jnp.full((nb, ncat, ns), sn.RSNW_FALL)
+    aicen = jnp.full((nb, ncat), 0.5)
+    vicen = aicen * 1.5
+    vsnon = aicen * 0.2
+    zqsn = snow_enthalpy_from_temperature(jnp.full((nb, ncat, ns),
+                                                   -10.0))
+    smice = jnp.full((nb, ncat, ns), 330.0)
+    smliq = jnp.zeros((nb, ncat, ns))
+    r1, si, sl = sn.update_snow_radius(
+        86400.0, rsnw, aicen, vicen, vsnon, zqsn,
+        jnp.full((nb, ncat), -15.0), jnp.full((nb, ncat), -5.0),
+        smice, smliq)
+    # dry metamorphism grows grains, bounded
+    assert float(r1.min()) > sn.RSNW_FALL
+    assert float(r1.max()) <= sn.RSNW_TMAX
+    # wet snow grows faster than dry
+    r_wet, _, _ = sn.update_snow_radius(
+        86400.0, rsnw, aicen, vicen, vsnon, zqsn,
+        jnp.full((nb, ncat), -1.0), jnp.full((nb, ncat), -1.0),
+        smice, jnp.full((nb, ncat, ns), 30.0))
+    assert float(r_wet.mean()) > float(r1.mean())
+    # drainage: saturated snow sheds liquid to the base
+    wet = jnp.full((nb, ncat, ns), 120.0)
+    sl2, meltsliq = sn.drain_snow(3600.0, vsnon, aicen, smice, wet)
+    assert float(meltsliq.min()) > 0.0
+    assert float(sl2.max()) < 120.0
+    # wind loss caps at 30%
+    kept, lost = sn.wind_snow_loss(jnp.asarray([0.0, 25.0]),
+                                   jnp.asarray([1e-5, 1e-5]))
+    assert float(lost[0]) == 0.0
+    np.testing.assert_allclose(float(lost[1]), 0.3e-5, rtol=1e-6)
+
+
+def test_aerosol_conservation():
+    """Aerosol pool transfers conserve total mass (pools + ocean flux)
+    (reference update_aerosol, ice_aerosol.F90)."""
+    from seaice_tpu.column.aerosol import update_aerosol
+
+    rng = np.random.RandomState(0)
+    nb, ncat, na = 5, 3, 2
+    aero = jnp.asarray(rng.rand(nb, ncat, na, 4) * 1e-6)
+    aicen = jnp.asarray(0.2 + 0.1 * rng.rand(nb, ncat))
+    vicen = aicen * 1.5
+    vsnon = aicen * 0.15
+    dt = 3600.0
+    melts = jnp.full((nb, ncat), 1e-3)
+    meltt = jnp.full((nb, ncat), 5e-4)
+    meltb = jnp.full((nb, ncat), 1e-3)
+    dep = jnp.asarray(rng.rand(nb, na) * 1e-12)
+    res = update_aerosol(dt, aero, aicen, vicen, vsnon,
+                         melts, meltt, meltb,
+                         jnp.zeros((nb, ncat)), jnp.zeros((nb, ncat)),
+                         jnp.zeros((nb, ncat)), dep)
+    assert float(res.aero.min()) >= 0.0
+    # mass balance per species: area-weighted pools + ocean flux = input
+    m0 = np.asarray((aero.sum(-1) * aicen[..., None]).sum(1))
+    m1 = np.asarray((res.aero.sum(-1) * aicen[..., None]).sum(1))
+    dep_total = np.asarray(dep) * dt * np.asarray(aicen).sum(
+        1, keepdims=True)
+    ocn = np.asarray(res.flux_ocn) * dt
+    np.testing.assert_allclose(m1 + ocn, m0 + dep_total, rtol=1e-10)
+
+
+def test_skl_bgc():
+    """Skeletal-layer algae: light+nutrient-limited growth, nutrient
+    drawdown (reference ice_algae.F90 skl mode)."""
+    from seaice_tpu.column.bgc import init_skl_bgc, step_skl_bgc
+
+    nb, ncat = 4, 2
+    st = init_skl_bgc((nb, ncat))
+    aicen = jnp.full((nb, ncat), 0.45)
+    vicen = aicen * 1.5
+    no3_o = jnp.full((nb, ncat), 5.0)
+    sio3_o = jnp.full((nb, ncat), 10.0)
+    # spring: light available
+    res = None
+    for _ in range(48):
+        res = step_skl_bgc(3600.0, st, aicen, vicen,
+                           jnp.full((nb, ncat), 5.0),
+                           jnp.full((nb, ncat), -1.8), no3_o, sio3_o)
+        st = res.state
+    assert float(st.algalN.min()) > 0.16      # bloom grows
+    assert float(res.chlorophyll.min()) > 0.0
+    assert float(st.NO3.max()) <= 5.0 + 1e-9  # nutrients drawn down
+    # polar night: no growth
+    st2 = init_skl_bgc((nb, ncat))
+    a0 = float(st2.algalN.mean())
+    for _ in range(48):
+        res2 = step_skl_bgc(3600.0, st2, aicen, vicen,
+                            jnp.zeros((nb, ncat)),
+                            jnp.full((nb, ncat), -1.8), no3_o, sio3_o)
+        st2 = res2.state
+    assert float(st2.algalN.mean()) < a0      # mortality dominates

@@ -76,3 +76,76 @@ def test_sharded_matches_single_device(n_shards):
         np.testing.assert_allclose(
             tr_s[name], np.asarray(rout.tracers[name]),
             atol=1e-13, rtol=1e-10, err_msg=name)
+
+
+def test_sharded_spherical():
+    """Sharding-count invariance on the global icosahedral mesh with
+    IR transport (the multi-chip configuration of the headline run)."""
+    from seaice_tpu.mesh import (icosahedral_mesh,
+                                 latlon_vector_rotation_forward)
+    from seaice_tpu.config import Config, RunConfig, \
+        VelocitySolverConfig, AdvectionConfig, AdvectionType, \
+        ColumnConfig
+    from seaice_tpu.dynamics.evp import DynamicsForcing
+
+    mesh = icosahedral_mesh(3)
+    mesh_cfg = Config(
+        run=RunConfig(dt=1800.0, n_categories=1),
+        velocity=VelocitySolverConfig(
+            elastic_subcycle_number=4, rotate_cartesian_grid=True,
+            include_metric_terms=True, geostrophic_surface_tilt=False),
+        advection=AdvectionConfig(
+            advection_type=AdvectionType.INCREMENTAL_REMAP),
+        column=ColumnConfig(use_column_package=False))
+    polar = np.abs(mesh.lat_cell) > np.deg2rad(60.0)
+    area = np.where(polar, 0.9, 0.0)[:, None]
+    vol = area * 2.0
+    snow = np.zeros_like(area)
+    u_rot, v_rot = latlon_vector_rotation_forward(
+        np.full(mesh.n_cells, 5.0), np.zeros(mesh.n_cells),
+        mesh.x_cell, mesh.y_cell, mesh.z_cell)
+
+    def forcing_for(m):
+        # per-block forcing from the global rotated wind scattered to
+        # local cells
+        nc = m.n_cells
+        z = jnp.zeros((nc,), jnp.float64)
+        return DynamicsForcing(
+            u_air_velocity=z, v_air_velocity=z,
+            air_density=jnp.full((nc,), 1.3), u_ocean_velocity=z,
+            v_ocean_velocity=z, sea_surface_tilt_u=z,
+            sea_surface_tilt_v=z, land_ice_mask=z)
+
+    # reference single-device
+    ref = SeaIceModel(mesh, mesh_cfg, dtype=jnp.float64)
+    nc = mesh.n_cells
+    z = jnp.zeros((nc,), jnp.float64)
+    g_forcing = DynamicsForcing(
+        u_air_velocity=jnp.asarray(u_rot),
+        v_air_velocity=jnp.asarray(v_rot),
+        air_density=jnp.full((nc,), 1.3), u_ocean_velocity=z,
+        v_ocean_velocity=z, sea_surface_tilt_u=z,
+        sea_surface_tilt_v=z, land_ice_mask=z)
+    rstate = ref.init_state(area, vol, snow)
+    rout, _ = ref.make_step()(ref.tensors, rstate, g_forcing)
+
+    sm = ShardedSeaIceModel(mesh, mesh_cfg, 4, dtype=jnp.float64)
+    sstate = sm.init_state(area, vol, snow)
+    uw = sm.part.scatter_cell_field(u_rot)
+    vw = sm.part.scatter_cell_field(v_rot)
+    sforcing = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[forcing_for(b.mesh) for b in sm.part.blocks])
+    from seaice_tpu.utils.pytree import replace as prep
+    sforcing = prep(sforcing, u_air_velocity=jnp.asarray(uw),
+                    v_air_velocity=jnp.asarray(vw))
+    sout, _ = sm.make_step()(sm.tensors, sm.halo, sstate, sforcing)
+
+    u_s, v_s = sm.gather_velocity(sout)
+    np.testing.assert_allclose(u_s, np.asarray(rout.velocity.u_velocity),
+                               atol=1e-11, rtol=1e-9)
+    tr_s = sm.gather_tracers(sout)
+    np.testing.assert_allclose(
+        tr_s["iceAreaCategory"],
+        np.asarray(rout.tracers["iceAreaCategory"]),
+        atol=1e-12, rtol=1e-9)
