@@ -22,6 +22,7 @@ from .itd import (category_boundaries, aggregate_area, aggregate_state,
 from .ridging import ridge_ice
 from .atmo import atmo_boundary_layer, atmo_constant_coefficients
 from .shortwave import shortwave_ccsm3
+from .dedd import shortwave_dedd, solve_dedd_column
 from .itd_thermo import add_new_ice, lateral_melt
 from .driver import (AtmosForcing, OceanForcing, ColumnFluxes,
                      ColumnPhysics, slab_ocean_frzmlt)

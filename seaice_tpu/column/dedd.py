@@ -1,0 +1,374 @@
+"""Delta-Eddington multiple-scattering shortwave (dEdd).
+
+TPU-native re-design of the reference delta-Eddington radiation
+(`ice_shortwave.F90`: shortwave_dEdd :1187, compute_dEdd :1674,
+solution_dEdd :3140; Briegleb & Light 2007): a two-stream
+delta-Eddington solution through the snow/ice column in three spectral
+bands (visible, two near-IR), with the published inherent optical
+properties — the 32-radius snow grain tables and the sea-ice
+SSL/DL/interior constants — embedded below. Vectorized over
+[*B, nCat] columns with the (static) layer stack unrolled.
+
+Layer stack (snow-covered): snow SSL | snow body | ice SSL | ice DL |
+(nilyr-1) ice interior; bare ice drops the snow rows. The Fresnel
+discontinuity sits at the top of the ice SSL for air/snow surfaces
+(refractive index 1.31), exactly as in solution_dEdd.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import constants as c
+
+RSNW_TAB = np.array([5.0, 7.0, 10.0, 15.0, 20.0, 30.0, 40.0, 50.0, 65.0, 80.0, 100.0, 120.0, 140.0, 170.0, 200.0, 240.0, 290.0, 350.0, 420.0, 500.0, 570.0, 660.0, 760.0, 870.0, 1000.0, 1100.0, 1250.0, 1400.0, 1600.0, 1800.0, 2000.0, 2500.0])
+QS_TAB = np.array([2.131798, 2.187756, 2.267358, 2.104499, 2.148345, 2.236078, 2.08158, 2.116885, 2.175067, 2.062595, 2.088937, 2.130242, 2.051403, 2.072422, 2.10661, 2.039223, 2.055389, 2.080586, 2.032383, 2.045751, 2.066394, 2.02792, 2.039388, 2.057224, 2.023444, 2.033137, 2.048055, 2.020412, 2.02884, 2.041874, 2.017608, 2.024863, 2.036046, 2.015592, 2.022021, 2.031954, 2.014083, 2.019887, 2.028853, 2.012368, 2.017471, 2.025353, 2.011092, 2.015675, 2.022759, 2.009837, 2.013897, 2.020168, 2.008668, 2.012252, 2.017781, 2.007627, 2.010813, 2.015678, 2.006764, 2.009577, 2.01388, 2.006037, 2.00852, 2.012382, 2.005528, 2.007807, 2.011307, 2.005025, 2.007079, 2.01028, 2.004562, 2.00644, 2.009333, 2.004155, 2.005898, 2.008523, 2.003794, 2.005379, 2.007795, 2.003555, 2.005041, 2.007329, 2.003264, 2.004624, 2.006729, 2.003037, 2.004291, 2.00623, 2.002776, 2.003929, 2.0057, 2.00259, 2.003627, 2.005276, 2.002395, 2.003391, 2.004904, 2.002071, 2.002922, 2.004241]).reshape(32, 3)
+WS_TAB = np.array([0.9999994, 0.9999673, 0.9954589, 0.9999992, 0.9999547, 0.9938576, 0.999999, 0.9999382, 0.9917989, 0.9999985, 0.9999123, 0.9889724, 0.9999979, 0.9998844, 0.986619, 0.999997, 0.9998317, 0.9823021, 0.999996, 0.99978, 0.9785269, 0.9999951, 0.9997288, 0.9751601, 0.9999936, 0.9996531, 0.9706974, 0.9999922, 0.9995783, 0.9667577, 0.9999903, 0.9994798, 0.9621007, 0.9999885, 0.9993825, 0.9579541, 0.9999866, 0.9992862, 0.9541924, 0.9999838, 0.9991434, 0.9490959, 0.999981, 0.9990025, 0.944494, 0.9999772, 0.9988171, 0.9389141, 0.9999726, 0.998589, 0.9325819, 0.999967, 0.9983199, 0.9256405, 0.9999605, 0.9980117, 0.9181533, 0.999953, 0.9976663, 0.910154, 0.9999465, 0.9973693, 0.9035031, 0.9999382, 0.9969939, 0.8953134, 0.9999289, 0.9965848, 0.8865789, 0.9999188, 0.9961434, 0.877335, 0.9999068, 0.9956323, 0.8668233, 0.9998975, 0.9952464, 0.858999, 0.9998837, 0.9946782, 0.8476493, 0.9998699, 0.9941218, 0.8367318, 0.9998515, 0.9933966, 0.8227881, 0.9998332, 0.9926888, 0.8095131, 0.9998148, 0.9919968, 0.796862, 0.9997691, 0.9903277, 0.7677887]).reshape(32, 3)
+GS_TAB = np.array([0.859913, 0.848003, 0.824415, 0.86713, 0.85815, 0.848445, 0.873381, 0.867221, 0.861714, 0.878368, 0.874879, 0.874036, 0.881462, 0.879661, 0.881299, 0.884361, 0.883903, 0.890184, 0.885937, 0.886256, 0.895393, 0.886931, 0.887769, 0.899072, 0.887894, 0.889255, 0.903285, 0.888515, 0.890236, 0.906588, 0.889073, 0.891127, 0.910152, 0.889452, 0.89175, 0.9131, 0.88973, 0.892213, 0.915621, 0.890026, 0.892723, 0.918831, 0.890238, 0.893099, 0.92154, 0.890441, 0.893474, 0.924581, 0.890618, 0.893816, 0.927701, 0.890762, 0.894123, 0.930737, 0.890881, 0.894397, 0.933568, 0.890975, 0.894645, 0.936148, 0.891035, 0.894822, 0.937989, 0.891097, 0.89502, 0.939949, 0.891147, 0.895212, 0.941727, 0.891189, 0.895399, 0.943339, 0.891225, 0.895601, 0.944915, 0.891248, 0.895745, 0.94595, 0.891277, 0.895951, 0.947288, 0.891299, 0.896142, 0.948438, 0.891323, 0.896388, 0.949762, 0.89134, 0.896623, 0.950916, 0.891356, 0.896851, 0.951945, 0.891386, 0.897399, 0.954156]).reshape(32, 3)
+
+
+# sea-ice / pond / ocean-water IOPs per band (reference :2160-2200)
+KI_SSL = np.array([1000.1, 1003.7, 7042.0])
+WI_SSL = np.array([0.9999, 0.9963, 0.9088])
+GI_SSL = np.array([0.94, 0.94, 0.94])
+KI_DL = np.array([100.2, 107.7, 1309.0])
+WI_DL = np.array([0.9980, 0.9287, 0.0305])
+GI_DL = np.array([0.94, 0.94, 0.94])
+KI_INT = np.array([20.2, 27.7, 1445.0])
+WI_INT = np.array([0.9901, 0.7223, 0.0277])
+GI_INT = np.array([0.94, 0.94, 0.94])
+KW = np.array([0.20, 12.0, 729.0])      # pond water
+WW = np.zeros(3)
+GW = np.zeros(3)
+
+HS_SSL = 0.040       # snow surface scattering layer (m)
+HI_SSL = 0.050       # ice surface scattering layer (m)
+REFINDX = 1.310      # sea ice refractive index
+CP063 = 0.063        # diffuse Fresnel reflectivity from above
+CP455 = 0.455        # diffuse Fresnel reflectivity from below
+EXP_MIN = 1e-20
+TRMIN = 0.001
+ALBOCN_DR = np.array([0.006, 0.006, 0.006])
+ALBOCN_DF = np.array([0.006, 0.006, 0.006])
+
+GAUSPT = np.array([0.9894009, 0.9445750, 0.8656312, 0.7554044,
+                   0.6178762, 0.4580168, 0.2816036, 0.0950125])
+GAUSWT = np.array([0.0271525, 0.0622535, 0.0951585, 0.1246290,
+                   0.1495960, 0.1691565, 0.1826034, 0.1894506])
+
+
+def snow_iops(grain_radius, band: int):
+    """Interpolate (Qs, ws, gs) from the 32-radius tables."""
+    r = jnp.clip(grain_radius, RSNW_TAB[0], RSNW_TAB[-1])
+    idx = jnp.searchsorted(jnp.asarray(RSNW_TAB), r) - 1
+    idx = jnp.clip(idx, 0, len(RSNW_TAB) - 2)
+    r0 = jnp.asarray(RSNW_TAB)[idx]
+    r1 = jnp.asarray(RSNW_TAB)[idx + 1]
+    w = (r - r0) / jnp.maximum(r1 - r0, 1e-12)
+
+    def interp(tab):
+        t = jnp.asarray(tab[:, band])
+        return (1.0 - w) * t[idx] + w * t[idx + 1]
+
+    return interp(QS_TAB), interp(WS_TAB), interp(GS_TAB)
+
+
+def _delta_scale(tau, w0, g):
+    f = g * g
+    ts = (1.0 - w0 * f) * tau
+    ws = (1.0 - f) * w0 / (1.0 - w0 * f)
+    gs = (g - f) / (1.0 - f)
+    return ts, ws, gs
+
+
+def _layer_coeffs(ts, ws, gs, mu0n):
+    """Direct/diffuse reflect/transmit of one delta-scaled layer
+    (reference solution_dEdd :3380-3440)."""
+    lm = jnp.sqrt(3.0 * (1.0 - ws) * (1.0 - ws * gs))
+    ue = 1.5 * (1.0 - ws * gs) / jnp.maximum(lm, 1e-12)
+    extins = jnp.maximum(EXP_MIN, jnp.exp(-lm * ts))
+    ne = (ue + 1.0) ** 2 / extins - (ue - 1.0) ** 2 * extins
+    rdif_a = (ue * ue - 1.0) * (1.0 / extins - extins) / ne
+    tdif_a = 4.0 * ue / ne
+    trnlay = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu0n))
+
+    def _ag(mu):
+        denom = 1.0 - lm * lm * mu * mu
+        denom = jnp.where(jnp.abs(denom) < 1e-9,
+                          jnp.sign(denom) * 1e-9 + 1e-12, denom)
+        alp = 0.75 * ws * mu * (1.0 + gs * (1.0 - ws)) / denom
+        gam = 0.5 * ws * (1.0 + 3.0 * gs * (1.0 - ws) * mu * mu) / denom
+        return alp, gam
+
+    alp, gam = _ag(mu0n)
+    apg, amg = alp + gam, alp - gam
+    rdir = apg * rdif_a + amg * (tdif_a * trnlay - 1.0)
+    tdir = apg * tdif_a + (amg * rdif_a - apg + 1.0) * trnlay
+
+    # diffuse coefficients by Gaussian integration over incidence angle
+    R1, T1 = rdif_a, tdif_a
+    swt = 0.0
+    smr = 0.0
+    smt = 0.0
+    for ng in range(8):
+        mu = GAUSPT[ng]
+        gwt = GAUSWT[ng]
+        swt = swt + mu * gwt
+        trn = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu))
+        alp, gam = _ag(mu)
+        apg_, amg_ = alp + gam, alp - gam
+        rdr = apg_ * R1 + amg_ * T1 * trn - amg_
+        tdr = apg_ * T1 + amg_ * R1 * trn - apg_ * trn + trn
+        smr = smr + mu * rdr * gwt
+        smt = smt + mu * tdr * gwt
+    rdif = smr / swt
+    tdif = smt / swt
+    return rdir, tdir, rdif, tdif, trnlay
+
+
+def _fresnel(mu0, mu0n):
+    R1 = (mu0 - REFINDX * mu0n) / (mu0 + REFINDX * mu0n)
+    R2 = (REFINDX * mu0 - mu0n) / (REFINDX * mu0 + mu0n)
+    T1 = 2.0 * mu0 / (mu0 + REFINDX * mu0n)
+    T2 = 2.0 * mu0 / (REFINDX * mu0 + mu0n)
+    Rf_dir = 0.5 * (R1 * R1 + R2 * R2)
+    Tf_dir = 0.5 * (T1 * T1 + T2 * T2) * REFINDX * mu0n / mu0
+    return Rf_dir, Tf_dir
+
+
+class DeddResult(NamedTuple):
+    albedo_dr: jnp.ndarray     # per band [*B, nCat, 3]
+    albedo_df: jnp.ndarray
+    abs_profile_dr: jnp.ndarray  # absorbed per layer [*B, nCat, K, 3]
+    abs_profile_df: jnp.ndarray
+    trans_ocean_dr: jnp.ndarray  # transmitted below the column
+    trans_ocean_df: jnp.ndarray
+
+
+def solve_dedd_column(taus, w0s, gs_list, coszen, kfrsnl: int,
+                      albodr, albodf):
+    """Two-stream delta-Eddington adding solution (reference
+    solution_dEdd :3140-3610), static layer count, vectorized batch.
+
+    taus/w0s/gs_list: lists (length K) of [*B] layer properties.
+    kfrsnl: index of the Fresnel layer (ice SSL) or -1 (pond surface).
+    Returns per-interface transmissions/reflectivities and the
+    absorbed-per-layer fractions for unit direct and diffuse incident."""
+    K = len(taus)
+    mu0 = jnp.maximum(coszen, 0.01)
+    mu0n_below = jnp.sqrt(1.0 - (1.0 - mu0 ** 2) / REFINDX ** 2)
+
+    trndir = [jnp.ones_like(mu0)]
+    trntdr = [jnp.ones_like(mu0)]
+    trndif = [jnp.ones_like(mu0)]
+    rdndif = [jnp.zeros_like(mu0)]
+    rdirs = []
+    tdirs = []
+    rdifas = []
+    tdifas = []
+    rdifbs = []
+    tdifbs = []
+    trnlays = []
+    for k in range(K):
+        ts, ws, gsc = _delta_scale(taus[k], w0s[k], gs_list[k])
+        mu0n = mu0 if (kfrsnl < 0 or k < kfrsnl) else mu0n_below
+        rdir, tdir, rdif, tdif, trnlay = _layer_coeffs(ts, ws, gsc,
+                                                       mu0n)
+        rdif_b, tdif_b = rdif, tdif
+        if k == kfrsnl:
+            Rf_dir, Tf_dir = _fresnel(mu0, mu0n_below)
+            Rf_dif_a, Tf_dif_a = CP063, 1.0 - CP063
+            Rf_dif_b, Tf_dif_b = CP455, 1.0 - CP455
+            rintfc = 1.0 / (1.0 - Rf_dif_b * rdif)
+            tdir_new = Tf_dir * tdir + Tf_dir * rdir * Rf_dif_b * \
+                rintfc * tdif
+            rdir = Rf_dir + Tf_dir * rdir * rintfc * Tf_dif_b
+            tdir = tdir_new
+            rdif_b = rdif_b + tdif_b * Rf_dif_b * rintfc * tdif
+            rdif = Rf_dif_a + Tf_dif_a * rdif * rintfc * Tf_dif_b
+            tdif_a_new = tdif * rintfc * Tf_dif_a
+            tdif_b = tdif_b * rintfc * Tf_dif_b
+            tdif = tdif_a_new
+            trnlay = Tf_dir * trnlay
+        rdirs.append(rdir)
+        tdirs.append(tdir)
+        rdifas.append(rdif)
+        tdifas.append(tdif)
+        rdifbs.append(rdif_b)
+        tdifbs.append(tdif_b)
+        trnlays.append(trnlay)
+
+        refkm1 = 1.0 / (1.0 - rdndif[k] * rdif)
+        tdrrdir = trndir[k] * rdir
+        tdndif = trntdr[k] - trndir[k]
+        trndir.append(trndir[k] * trnlay)
+        trntdr.append(trndir[k] * tdir +
+                      (tdndif + tdrrdir * rdndif[k]) * refkm1 * tdif)
+        rdndif.append(rdif_b + tdif_b * rdndif[k] * refkm1 * tdif)
+        trndif.append(trndif[k] * refkm1 * tdif)
+
+    rupdir = [None] * (K + 1)
+    rupdif = [None] * (K + 1)
+    rupdir[K] = albodr * jnp.ones_like(mu0)
+    rupdif[K] = albodf * jnp.ones_like(mu0)
+    for k in range(K - 1, -1, -1):
+        refkp1 = 1.0 / (1.0 - rdifbs[k] * rupdif[k + 1])
+        rupdir[k] = rdirs[k] + (
+            trnlays[k] * rupdir[k + 1] +
+            (tdirs[k] - trnlays[k]) * rupdif[k + 1]) * refkp1 * \
+            tdifbs[k]
+        rupdif[k] = rdifas[k] + tdifas[k] * rupdif[k + 1] * refkp1 * \
+            tdifbs[k]
+
+    # net downward fluxes at interfaces for unit direct / diffuse
+    # incident (reference :2900-2960): fdirdn/up etc.
+    dn_dir = []
+    up_dir = []
+    dn_dif = []
+    up_dif = []
+    for k in range(K + 1):
+        refk = 1.0 / (1.0 - rdndif[k] * rupdif[k])
+        fdirdn = trndir[k] + (trntdr[k] - trndir[k] +
+                              trndir[k] * rupdir[k] * rdndif[k]) * refk
+        fdirup = (trndir[k] * rupdir[k] +
+                  (trntdr[k] - trndir[k] +
+                   trndir[k] * rupdir[k] * rdndif[k]) * refk *
+                  rupdif[k])
+        fdifdn = trndif[k] * refk
+        fdifup = trndif[k] * refk * rupdif[k]
+        dn_dir.append(fdirdn)
+        up_dir.append(fdirup)
+        dn_dif.append(fdifdn)
+        up_dif.append(fdifup)
+    abs_dir = [dn_dir[k] - up_dir[k] - (dn_dir[k + 1] - up_dir[k + 1])
+               for k in range(K)]
+    abs_dif = [dn_dif[k] - up_dif[k] - (dn_dif[k + 1] - up_dif[k + 1])
+               for k in range(K)]
+    return {
+        "albedo_dr": rupdir[0], "albedo_df": rupdif[0],
+        "abs_dir": abs_dir, "abs_dif": abs_dif,
+        "trans_dr": dn_dir[K] - up_dir[K],
+        "trans_df": dn_dif[K] - up_dif[K],
+    }
+
+
+def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
+                   swvdr, swvdf, swidr, swidf,
+                   n_ice_layers: int, n_snow_layers: int = 1,
+                   snow_grain_radius: float = 180.0):
+    """Delta-Eddington albedos and absorbed-solar partition, with the
+    ShortwaveResult interface of shortwave_ccsm3 (reference
+    shortwave_dEdd + compute_dEdd assembly).
+
+    Stack: [snow SSL, snow body, ice SSL, ice DL, (ni-1) interior].
+    Snow rows are blended out (tau -> 0) for bare ice columns; the
+    Fresnel layer sits at the ice SSL. Bands: visible + two NIR with
+    the reference's weighting (fnidr ~ direct fraction of NIR).
+    """
+    from .shortwave import ShortwaveResult
+
+    ni, ns = n_ice_layers, n_snow_layers
+    has = aicen > c.PUNY
+    safe_a = jnp.where(has, aicen, 1.0)
+    hi = jnp.maximum(jnp.where(has, vicen / safe_a, 0.0), 1e-4)
+    hs = jnp.where(has, vsnon / safe_a, 0.0)
+    l_snow = hs > c.PUNY
+
+    mu = jnp.maximum(coszen, 0.01)
+    if mu.ndim == aicen.ndim - 1:
+        mu = mu[..., None] * jnp.ones_like(aicen)
+
+    # band weights (reference :2252-2255)
+    fnidr = swidr / jnp.maximum(swidr + swidf, c.PUNY)
+    w2 = 0.67 + (0.78 - 0.67) * (1.0 - fnidr)
+    swdr_b = [swvdr, swidr * w2, swidr * (1.0 - w2)]
+    swdf_b = [swvdf, swidf * w2, swidf * (1.0 - w2)]
+
+    # layer thicknesses
+    dzs_ssl = jnp.minimum(HS_SSL, 0.5 * jnp.maximum(hs, c.PUNY))
+    dzs_body = jnp.maximum(hs - dzs_ssl, 0.0)
+    dzi_ssl = jnp.minimum(HI_SSL, hi / 30.0)
+    dzi_lyr = hi / ni
+    dzi_dl = jnp.maximum(dzi_lyr * 0.25, 1e-6)
+    dz_int = jnp.maximum((hi - dzi_ssl - dzi_dl) / jnp.maximum(ni - 1,
+                                                               1), 1e-6)
+    kfrsnl = 2          # stack index of the ice SSL
+
+    K = 4 + (ni - 1)
+    alb_dr = []
+    alb_df = []
+    abs_srf = jnp.zeros_like(aicen)
+    abs_int = jnp.zeros_like(aicen)
+    Iswabs = jnp.zeros(aicen.shape + (ni,), aicen.dtype)
+    fswthru = jnp.zeros_like(aicen)
+    total_in = jnp.zeros_like(aicen)
+
+    def bsc(x):
+        return x[..., None] * jnp.ones_like(aicen) if \
+            x.ndim == aicen.ndim - 1 else x
+
+    for b in range(3):
+        qs, ws_s, gs_s = snow_iops(jnp.asarray(snow_grain_radius,
+                                               aicen.dtype), b)
+        # snow extinction: ks = Qs * (rhos/rhoi) * 3/(4 r)
+        ks = qs * (c.RHOS / 917.0) * 3.0 / \
+            (4.0 * snow_grain_radius * 1e-6)
+        zero = jnp.zeros_like(aicen)
+        taus = [jnp.where(l_snow, ks * dzs_ssl, 0.0),
+                jnp.where(l_snow, ks * dzs_body, 0.0),
+                KI_SSL[b] * dzi_ssl,
+                KI_DL[b] * dzi_dl]
+        w0s = [jnp.full_like(aicen, ws_s),
+               jnp.full_like(aicen, ws_s),
+               jnp.full_like(aicen, WI_SSL[b]),
+               jnp.full_like(aicen, WI_DL[b])]
+        gls = [jnp.full_like(aicen, gs_s),
+               jnp.full_like(aicen, gs_s),
+               jnp.full_like(aicen, GI_SSL[b]),
+               jnp.full_like(aicen, GI_DL[b])]
+        for k in range(ni - 1):
+            taus.append(KI_INT[b] * dz_int)
+            w0s.append(jnp.full_like(aicen, WI_INT[b]))
+            gls.append(jnp.full_like(aicen, GI_INT[b]))
+
+        sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
+                                ALBOCN_DR[b], ALBOCN_DF[b])
+        alb_dr.append(sol["albedo_dr"])
+        alb_df.append(sol["albedo_df"])
+        fdr = bsc(swdr_b[b])
+        fdf = bsc(swdf_b[b])
+        total_in = total_in + fdr + fdf
+        # surface absorption = everything above the ice interior
+        # (reference ksrf logic): snow rows + ice SSL + DL
+        for k in range(4):
+            abs_srf = abs_srf + sol["abs_dir"][k] * fdr + \
+                sol["abs_dif"][k] * fdf
+        for k in range(ni - 1):
+            a_k = sol["abs_dir"][4 + k] * fdr + \
+                sol["abs_dif"][4 + k] * fdf
+            abs_int = abs_int + a_k
+            Iswabs = Iswabs.at[..., k + 1].add(a_k)
+        fswthru = fswthru + sol["trans_dr"] * fdr + \
+            sol["trans_df"] * fdf
+
+    def z(x):
+        return jnp.where(has, x, 0.0)
+
+    # area-weighted broadband albedos per band group
+    alvdr, alvdf = alb_dr[0], alb_df[0]
+    nir_w = bsc(w2)
+    alidr = alb_dr[1] * nir_w + alb_dr[2] * (1.0 - nir_w)
+    alidf = alb_df[1] * nir_w + alb_df[2] * (1.0 - nir_w)
+    return ShortwaveResult(
+        alvdr=jnp.where(has, alvdr, 0.0),
+        alvdf=jnp.where(has, alvdf, 0.0),
+        alidr=jnp.where(has, alidr, 0.0),
+        alidf=jnp.where(has, alidf, 0.0),
+        fswsfc=z(abs_srf), fswint=z(abs_int), fswthru=z(fswthru),
+        Iswabs=jnp.where(has[..., None], Iswabs, 0.0),
+        Sswabs=jnp.zeros(aicen.shape + (n_snow_layers,), aicen.dtype),
+        albin=jnp.where(has, alvdr, 0.0),
+        albsn=jnp.where(has, alvdf, 0.0))

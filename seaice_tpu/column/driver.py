@@ -111,7 +111,7 @@ class ColumnPhysics:
                  n_snow_layers: int = 1, kcatbound: int = 0,
                  kitd: int = 1, krdg_partic: int = 1,
                  krdg_redist: int = 1, mu_rdg: float = 4.0,
-                 natmiter: int = 5):
+                 natmiter: int = 5, shortwave: str = "ccsm3"):
         self.ncat = n_categories
         self.ni = n_ice_layers
         self.ns = n_snow_layers
@@ -121,14 +121,17 @@ class ColumnPhysics:
         self.krdg_redist = krdg_redist
         self.mu_rdg = mu_rdg
         self.natmiter = natmiter
+        self.shortwave = shortwave
 
     # -- therm1 + therm2 (predynamics; reference column.F:1038-1137) -----
 
     def step_thermodynamics(self, dt, tracers: Dict[str, Any],
                             atm: AtmosForcing, ocn: OceanForcing,
-                            strocnx=None, strocny=None):
+                            strocnx=None, strocny=None, coszen=None):
         """Vertical + ITD thermodynamics for one coupling step.
 
+        coszen: cosine solar zenith (cell field), used by the dEdd
+        shortwave; if absent, a rough estimate from the incident flux.
         Returns (new tracers, ColumnFluxes)."""
         aicen, vicen, vsnon, at, it_, st = _split_tracers(tracers)
         tsfc = at["surfaceTemperature"]
@@ -142,11 +145,23 @@ class ColumnPhysics:
 
         wind = jnp.sqrt(atm.u_air ** 2 + atm.v_air ** 2)
 
-        # shortwave partition (reference column_prep/step_radiation)
-        sw = shortwave_ccsm3(aicen, vicen, vsnon, tsfc,
-                             atm.sw_vis_dir, atm.sw_vis_dif,
-                             atm.sw_ir_dir, atm.sw_ir_dif,
-                             self.ni, self.ns)
+        # shortwave partition (reference column_prep/step_radiation;
+        # scheme selected by config_albedo_type 'ccsm3' | 'dEdd')
+        if self.shortwave == "dEdd":
+            from .dedd import shortwave_dedd
+            if coszen is None:
+                sw_tot = (atm.sw_vis_dir + atm.sw_vis_dif +
+                          atm.sw_ir_dir + atm.sw_ir_dif)
+                coszen = jnp.clip(sw_tot / 800.0, 0.05, 1.0)
+            sw = shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
+                                atm.sw_vis_dir, atm.sw_vis_dif,
+                                atm.sw_ir_dir, atm.sw_ir_dif,
+                                self.ni, self.ns)
+        else:
+            sw = shortwave_ccsm3(aicen, vicen, vsnon, tsfc,
+                                 atm.sw_vis_dir, atm.sw_vis_dif,
+                                 atm.sw_ir_dir, atm.sw_ir_dif,
+                                 self.ni, self.ns)
 
         # atmosphere boundary layer per category
         ab = atmo_boundary_layer(

@@ -99,7 +99,8 @@ class SeaIceModel:
                 kitd=cfg.column.kitd,
                 krdg_partic=cfg.column.krdg_partic,
                 krdg_redist=cfg.column.krdg_redist,
-                natmiter=cfg.column.natmiter)
+                natmiter=cfg.column.natmiter,
+                shortwave=cfg.column.shortwave)
 
     # -- state ---------------------------------------------------------------
 

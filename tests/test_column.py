@@ -406,3 +406,105 @@ def test_skl_bgc():
                             jnp.full((nb, ncat), -1.8), no3_o, sio3_o)
         st2 = res2.state
     assert float(st2.algalN.mean()) < a0      # mortality dominates
+
+
+# -- delta-Eddington shortwave (reference ice_shortwave.F90 shortwave_dEdd
+# :1680-2600, solution_dEdd :3140-3610) -------------------------------------
+
+class TestDeltaEddington:
+    def _forcing(self, nb, ncat):
+        one = jnp.ones((nb, ncat))
+        return dict(swvdr=100.0 * one[..., 0], swvdf=80.0 * one[..., 0],
+                    swidr=90.0 * one[..., 0], swidf=60.0 * one[..., 0])
+
+    def test_energy_closure_and_albedo_ordering(self):
+        from seaice_tpu.column import shortwave_dedd
+        nb = 4
+        # columns: thin bare / thick bare / thin snow / thick snow
+        hi = jnp.array([0.3, 2.5, 1.5, 1.5])[:, None]
+        hs = jnp.array([0.0, 0.0, 0.05, 0.4])[:, None]
+        aicen = jnp.ones((nb, 1))
+        f = self._forcing(nb, 1)
+        sw = shortwave_dedd(aicen, hi * aicen, hs * aicen,
+                            jnp.full((nb, 1), -5.0),
+                            jnp.full((nb,), 0.5), **f, n_ice_layers=7)
+        incident = sum(f.values())            # 330 W/m^2
+        absorbed = (sw.fswsfc + sw.fswint + sw.fswthru)[:, 0]
+        reflected = (sw.alvdr * f["swvdr"] + sw.alvdf * f["swvdf"] +
+                     sw.alidr * f["swidr"] + sw.alidf * f["swidf"])[:, 0]
+        np.testing.assert_allclose(np.asarray(absorbed + reflected),
+                                   incident, rtol=1e-6)
+        alb = np.asarray((reflected / incident))
+        # thin bare < thick bare < snow-covered; all within physical range
+        assert alb[0] < alb[1] < alb[2] <= alb[3]
+        assert 0.1 < alb[0] and alb[3] < 0.99
+        # thick snow transmits essentially nothing; thin bare ice does
+        assert float(sw.fswthru[3, 0]) < 1.0 < float(sw.fswthru[0, 0])
+        # interior absorption is distributed over layers and sums to fswint
+        np.testing.assert_allclose(
+            np.asarray(sw.Iswabs.sum(-1) + sw.Sswabs.sum(-1)),
+            np.asarray(sw.fswint), atol=1e-8)
+
+    def test_zenith_and_grain_dependence(self):
+        from seaice_tpu.column import shortwave_dedd
+        aicen = jnp.ones((1, 1))
+        hi, hs = 1.5 * aicen, 0.3 * aicen
+        tsf = jnp.full((1, 1), -10.0)
+        f = self._forcing(1, 1)
+        incident = sum(f.values())
+
+        def alb(mu, rsnw):
+            sw = shortwave_dedd(aicen, hi, hs, tsf, jnp.full((1,), mu),
+                                **f, n_ice_layers=7,
+                                snow_grain_radius=rsnw)
+            refl = (sw.alvdr * f["swvdr"] + sw.alvdf * f["swvdf"] +
+                    sw.alidr * f["swidr"] + sw.alidf * f["swidf"])
+            return float(refl[0, 0] / incident[0])
+
+        # lower sun -> brighter; bigger grains -> darker (B&L 2007 fig.5)
+        assert alb(0.2, 180.0) > alb(0.9, 180.0)
+        assert alb(0.5, 100.0) > alb(0.5, 1000.0)
+
+    def test_dedd_in_column_driver(self):
+        """shortwave='dEdd' wired through ColumnPhysics (driver path)."""
+        from seaice_tpu.column import ColumnPhysics
+        from seaice_tpu.column.driver import AtmosForcing, OceanForcing
+        from seaice_tpu.column.thermo_shared import (
+            salinity_profile, melting_temperature,
+            ice_enthalpy_from_temperature, snow_enthalpy_from_temperature)
+        nb, ncat, ni, ns = 3, 5, 7, 1
+        col = ColumnPhysics(ncat, ni, shortwave="dEdd")
+        area = jnp.full((nb, ncat), 0.8 / ncat)
+        S = salinity_profile(ni)
+        Sz = jnp.tile(S, (nb, ncat, 1))
+        tr = {
+            "iceAreaCategory": area,
+            "iceVolumeCategory": area * 1.2,
+            "snowVolumeCategory": area * 0.1,
+            "surfaceTemperature": jnp.full((nb, ncat), -12.0),
+            "iceEnthalpy": ice_enthalpy_from_temperature(
+                jnp.full((nb, ncat, ni), -8.0), melting_temperature(Sz)),
+            "iceSalinity": Sz,
+            "snowEnthalpy": snow_enthalpy_from_temperature(
+                jnp.full((nb, ncat, ns), -10.0)),
+        }
+        one = jnp.ones((nb,))
+        atm = AtmosForcing(
+            air_temperature=255.0 * one, specific_humidity=0.0004 * one,
+            u_air=5.0 * one, v_air=0.0 * one, longwave_down=180.0 * one,
+            sw_vis_dir=50.0 * one, sw_vis_dif=30.0 * one,
+            sw_ir_dir=40.0 * one, sw_ir_dif=20.0 * one,
+            rain_rate=0.0 * one, snow_rate=1e-5 * one,
+            air_density=1.3 * one, air_level_height=10.0 * one)
+        ocn = OceanForcing(
+            sst=-1.7 * one, sss=34.0 * one,
+            freezing_temperature=-1.8 * one, frzmlt=0.0 * one,
+            mixed_layer_depth=20.0 * one)
+        step = jax.jit(
+            lambda t: col.step_thermodynamics(3600.0, t, atm, ocn))
+        tr2, fluxes = step(tr)
+        for v in jax.tree.leaves(tr2):
+            assert np.isfinite(np.asarray(v)).all()
+        a2 = np.asarray(tr2["iceAreaCategory"].sum(-1))
+        assert (a2 >= -1e-12).all() and (a2 <= 1.0 + 1e-12).all()
+        assert np.isfinite(np.asarray(fluxes.fhocn)).all()
