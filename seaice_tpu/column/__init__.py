@@ -32,4 +32,7 @@ from .zerolayer import zerolayer_temperature
 from . import snow
 from .aerosol import update_aerosol
 from .bgc import init_skl_bgc, step_skl_bgc, SklBgcState
-from .ponds import compute_ponds_cesm, increment_age, update_first_year_area
+from .ponds import (compute_ponds_cesm, compute_ponds_lvl,
+                    compute_ponds_topo, brine_permeability,
+                    permeability_phi_topo, increment_age,
+                    update_first_year_area)

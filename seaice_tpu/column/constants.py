@@ -49,3 +49,4 @@ USTAR_MIN = 0.0005      # min friction velocity under ice (m/s; MPAS
                         # config_min_friction_velocity default)
 CPRHO = CP_OCN * RHOW
 PI = math.pi
+VISCOSITY_DYN = 1.79e-3   # dynamic viscosity of brine (kg/m/s)

@@ -27,6 +27,14 @@ HSTAR = 25.0
 NITER_RIDGE = 3    # fixed iteration count (reference iterates <=20,
                    # converging in 1-2 typical)
 
+# Tracers destroyed by ridging: the donor loses them but the new ridge
+# receives none (reference ridge_shift, ice_mechred.F90:1488-1498 --
+# "Tracers associated with level ice ... are not transferred. We assume
+# that all pond water is lost from ridging ice.")
+NO_TRANSFER_TRACERS = frozenset({
+    "levelIceArea", "levelIceVolume",
+    "pondArea", "pondDepth", "pondLidThickness"})
+
 
 def asum_and_participation(aicen, aice0):
     return aice0 + aicen.sum(-1)
@@ -270,6 +278,8 @@ def ridge_ice(dt, hin_max: np.ndarray, rdg_conv, rdg_shear,
                 vicen = vicen.at[..., nr].add(fvol * virdgn)
                 vsnon = vsnon.at[..., nr].add(fvol * vsrdgn * FSNOWRDG)
                 for k2 in at:
+                    if k2 in NO_TRANSFER_TRACERS:
+                        continue
                     t = area_tracers[k2]
                     if t.ndim == ardg1n.ndim + 1:
                         at[k2] = at[k2].at[..., nr].add(
@@ -278,6 +288,8 @@ def ridge_ice(dt, hin_max: np.ndarray, rdg_conv, rdg_shear,
                         at[k2] = at[k2].at[..., nr, :].add(
                             (farea * ardg2n)[..., None] * t[..., n, :])
                 for k2 in it_:
+                    if k2 in NO_TRANSFER_TRACERS:
+                        continue
                     t = ice_tracers[k2]
                     if t.ndim == ardg1n.ndim + 2:
                         it_[k2] = it_[k2].at[..., nr, :].add(

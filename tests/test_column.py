@@ -508,3 +508,201 @@ class TestDeltaEddington:
         a2 = np.asarray(tr2["iceAreaCategory"].sum(-1))
         assert (a2 >= -1e-12).all() and (a2 <= 1.0 + 1e-12).all()
         assert np.isfinite(np.asarray(fluxes.fhocn)).all()
+
+
+# -- level-ice melt ponds (reference ice_meltpond_lvl.F90) ------------------
+
+class TestLevelPonds:
+    def _cols(self, nb=4):
+        ni = 7
+        aicen = jnp.full((nb, 1), 0.9)
+        vicen = aicen * jnp.array([1.5, 1.5, 1.5, 0.005])[:, None]
+        vsnon = jnp.zeros((nb, 1))
+        from seaice_tpu.column.thermo_shared import (
+            salinity_profile, melting_temperature,
+            ice_enthalpy_from_temperature)
+        S = salinity_profile(ni)
+        Sz = jnp.tile(S, (nb, 1, 1))
+        qicen = ice_enthalpy_from_temperature(
+            jnp.full((nb, 1, ni), -2.0), melting_temperature(Sz))
+        return aicen, vicen, vsnon, qicen, Sz
+
+    def test_growth_refreeze_drain_shed(self):
+        from seaice_tpu.column import compute_ponds_lvl
+        nb = 4
+        aicen, vicen, vsnon, qicen, Sz = self._cols(nb)
+        alvl = jnp.full((nb, 1), 0.8)
+        z = jnp.zeros((nb, 1))
+        # melt only on rows 0-1; row 3 is thin ice carrying a pond
+        meltt = jnp.array([0.01, 0.01, 0.0, 0.0])[:, None]
+        apnd0 = jnp.array([0.0, 0.0, 0.5, 0.5])[:, None]
+        hpnd0 = jnp.array([0.0, 0.0, 0.1, 0.1])[:, None]
+        apnd, hpnd, ipnd, ffrac = compute_ponds_lvl(
+            3600.0, 0.7, meltt, z, z, jnp.full((nb, 1), 270.0),
+            50.0 * jnp.ones((nb, 1)), z, aicen, vicen, vsnon,
+            qicen, Sz, jnp.full((nb, 1), -1.0), alvl,
+            apnd0, hpnd0, z, dpscale=0.0)
+        # melt rows grow a pond; shape relation hpnd = aspect*apnd
+        assert float(apnd[0, 0]) > 0 and float(hpnd[0, 0]) > 0
+        np.testing.assert_allclose(np.asarray(hpnd[0]),
+                                   0.8 * np.asarray(apnd[0] * alvl[0]),
+                                   rtol=1e-6)
+        # thin ice sheds its pond
+        assert float(apnd[3, 0]) == 0.0 and float(hpnd[3, 0]) == 0.0
+        # no melt, warm air, fsurf>0 on a snow-free pond: ffrac reported
+        assert float(ffrac[2, 0]) >= 0.0
+
+        # Stefan lid growth: freezing air, no melt -> ipnd grows and
+        # pond volume drops
+        apnd2, hpnd2, ipnd2, _ = compute_ponds_lvl(
+            3600.0, 0.7, z, z, z, jnp.full((nb, 1), 250.0), z, z,
+            aicen, vicen, vsnon, qicen, Sz,
+            jnp.full((nb, 1), -10.0), alvl, apnd0, hpnd0, z,
+            dpscale=0.0)
+        assert float(ipnd2[2, 0]) > 0.0
+        vol0 = float((hpnd0 * apnd0 * alvl * aicen)[2, 0])
+        vol2 = float((hpnd2 * apnd2 * alvl * aicen)[2, 0])
+        assert vol2 < vol0
+
+        # permeable warm ice drains under Darcy flushing; note that with
+        # the BL99 salinity profile the top layer is nearly fresh, so
+        # min-phi is impermeable (as in the reference) — use uniform
+        # salty, warm ice here
+        from seaice_tpu.column.thermo_shared import (
+            melting_temperature, ice_enthalpy_from_temperature)
+        Sz_warm = jnp.full(Sz.shape, 5.0)
+        q_warm = ice_enthalpy_from_temperature(
+            jnp.full(qicen.shape, -0.6), melting_temperature(Sz_warm))
+        apnd3, hpnd3, _, _ = compute_ponds_lvl(
+            3600.0, 0.7, z, z, z, jnp.full((nb, 1), 274.0), z, z,
+            aicen, vicen, vsnon, q_warm, Sz_warm,
+            jnp.full((nb, 1), -0.5), alvl, apnd0, hpnd0, z,
+            frzpnd="cesm", dpscale=1.0e3)
+        vol3 = float((hpnd3 * apnd3 * alvl * aicen)[2, 0])
+        apnd4, hpnd4, _, _ = compute_ponds_lvl(
+            3600.0, 0.7, z, z, z, jnp.full((nb, 1), 274.0), z, z,
+            aicen, vicen, vsnon, q_warm, Sz_warm,
+            jnp.full((nb, 1), -0.5), alvl, apnd0, hpnd0, z,
+            frzpnd="cesm", dpscale=0.0)
+        vol4 = float((hpnd4 * apnd4 * alvl * aicen)[2, 0])
+        assert vol3 < vol4
+        # impermeable profile (fresh surface layer) must not drain
+        from seaice_tpu.column import brine_permeability
+        assert float(brine_permeability(qicen, Sz)[2, 0]) == 0.0
+
+    def test_ridging_destroys_level_ice(self):
+        from seaice_tpu.column.ridging import ridge_ice
+        from seaice_tpu.column.itd import category_boundaries
+        nb, ncat = 2, 5
+        hin_max = category_boundaries(ncat)
+        aicen = jnp.full((nb, ncat), 0.199)       # nearly full cover
+        vicen = aicen * jnp.array([0.3, 0.8, 1.5, 2.5, 4.0])
+        vsnon = aicen * 0.05
+        alvl = jnp.ones((nb, ncat))
+        conv = jnp.array([1e-6, 0.0])             # strong convergence
+        res = ridge_ice(1800.0, hin_max, conv, jnp.zeros((nb,)),
+                        aicen, vicen, vsnon,
+                        {"levelIceArea": alvl}, {}, {})
+        a1, alvl1 = res.aicen, res.area_tracers["levelIceArea"]
+        # ice volume conserved, area compressed
+        np.testing.assert_allclose(
+            np.asarray(res.vicen.sum(-1)), np.asarray(vicen.sum(-1)),
+            rtol=1e-12)
+        assert float(a1[0].sum()) < float(aicen[0].sum())
+        # level ice area decreases strictly (ridged ice is deformed)
+        lvl0 = float((alvl * aicen)[0].sum())
+        lvl1 = float((alvl1 * a1)[0].sum())
+        assert lvl1 < lvl0 - 1e-6
+        assert (np.asarray(alvl1) <= 1.0 + 1e-12).all()
+        assert (np.asarray(alvl1) >= -1e-12).all()
+        # undisturbed row unchanged
+        np.testing.assert_allclose(np.asarray(alvl1[1]), 1.0)
+
+
+# -- topographic melt ponds (reference ice_meltpond_topo.F90) ---------------
+
+class TestTopoPonds:
+    def _state(self, nb=3, ncat=5):
+        from seaice_tpu.column.thermo_shared import (
+            salinity_profile, melting_temperature,
+            ice_enthalpy_from_temperature)
+        ni = 7
+        aicen = jnp.full((nb, ncat), 0.19)
+        hicen = jnp.array([0.4, 0.9, 1.6, 2.8, 4.5])
+        vicen = aicen * hicen
+        vsnon = aicen * 0.02
+        S = salinity_profile(ni)
+        Sz = jnp.tile(S, (nb, ncat, 1))
+        qicen = ice_enthalpy_from_temperature(
+            jnp.full((nb, ncat, ni), -5.0), melting_temperature(Sz))
+        return aicen, vicen, vsnon, qicen, Sz
+
+    def test_fill_budget_and_topography(self):
+        from seaice_tpu.column import compute_ponds_topo
+        nb, ncat = 3, 5
+        aicen, vicen, vsnon, qicen, Sz = self._state(nb, ncat)
+        # rows: modest pond / large pond (hits capacity) / tiny (inactive)
+        apnd0 = jnp.array([[0.3] * ncat, [0.9] * ncat, [0.0] * ncat])
+        hpnd0 = jnp.array([[0.05] * ncat, [3.0] * ncat, [0.0] * ncat])
+        z = jnp.zeros((nb, ncat))
+        Tsfc = jnp.full((nb, ncat), -5.0)
+        apnd, hpnd, ipnd, dfpond, drain = compute_ponds_topo(
+            3600.0, aicen, vicen, vsnon, jnp.zeros((nb,)),
+            jnp.full((nb,), 10.0), Tsfc, qicen, Sz, apnd0, hpnd0, z)
+        volp0 = np.asarray((hpnd0 * apnd0 * aicen).sum(-1))
+        volp1 = np.asarray((hpnd * apnd * aicen).sum(-1))
+        vuin1 = np.asarray((ipnd * apnd * aicen).sum(-1))
+        # liquid pond budget closes: final = initial + dfpond - lid
+        np.testing.assert_allclose(volp1 + vuin1,
+                                   volp0 + np.asarray(dfpond),
+                                   atol=1e-10)
+        assert (np.asarray(drain) >= 0).all()
+        # row 1 overfilled -> must have drained a lot
+        assert float(drain[1]) > 0.1
+        # row 2 has no pond -> everything stays zero
+        assert float(volp1[2]) == 0.0
+        # hydrostatic levelling: pond deeper on thinner categories
+        h1 = np.asarray(hpnd[0])
+        occupied = np.asarray(apnd[0]) > 0
+        assert occupied[0], "thinnest category must pond first"
+        assert not occupied[-1], "thickest category never ponds"
+        hw = h1[occupied]
+        assert (np.diff(hw) <= 1e-10).all(), \
+            "pond depth must decrease with floor height"
+
+    def test_lid_freeze_and_melt(self):
+        from seaice_tpu.column import compute_ponds_topo
+        nb, ncat = 2, 5
+        aicen, vicen, vsnon, qicen, Sz = self._state(nb, ncat)
+        apnd0 = jnp.full((nb, ncat), 0.4)
+        hpnd0 = jnp.full((nb, ncat), 0.15)
+        ip0 = jnp.zeros((nb, ncat))
+        # cold surface, negative surface flux -> a lid forms
+        Tsfc_cold = jnp.full((nb, ncat), -8.0)
+        _, _, ipnd_c, _, _ = compute_ponds_topo(
+            3600.0, aicen, vicen, vsnon, jnp.zeros((nb,)),
+            jnp.full((nb,), -50.0), Tsfc_cold, qicen, Sz,
+            apnd0, hpnd0, ip0)
+        assert float(jnp.max(ipnd_c)) > 0.0
+        # warm surface + meltwater -> an existing lid melts back
+        ip_exist = jnp.full((nb, ncat), 0.05)
+        a1, h1, ipnd_w, dfp, _ = compute_ponds_topo(
+            3600.0, aicen, vicen, vsnon, jnp.full((nb,), 0.02),
+            jnp.full((nb,), 100.0), jnp.full((nb, ncat), -0.05),
+            qicen, Sz, apnd0, hpnd0, ip_exist)
+        lid0 = float((ip_exist * apnd0 * aicen)[0].sum())
+        lid1 = float((ipnd_w * a1 * aicen)[0].sum())
+        assert lid1 < lid0
+
+    def test_jit_and_finite(self):
+        from seaice_tpu.column import compute_ponds_topo
+        nb, ncat = 4, 5
+        aicen, vicen, vsnon, qicen, Sz = self._state(nb, ncat)
+        apnd0 = jnp.full((nb, ncat), 0.2)
+        hpnd0 = jnp.full((nb, ncat), 0.1)
+        f = jax.jit(lambda *a: compute_ponds_topo(3600.0, *a))
+        out = f(aicen, vicen, vsnon, jnp.zeros((nb,)),
+                jnp.zeros((nb,)), jnp.full((nb, ncat), -3.0),
+                qicen, Sz, apnd0, hpnd0, jnp.zeros((nb, ncat)))
+        for v in out:
+            assert np.isfinite(np.asarray(v)).all()
