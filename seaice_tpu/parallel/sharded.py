@@ -47,6 +47,8 @@ class HaloMaps:
     cell_halo_src_idx: Any
     vertex_owned_mask: Any        # [nVerticesOwned]
     cell_owned_mask: Any          # [nCellsOwned]
+    vertex_halo_color: Any        # [nVertexHalo] ppermute round index
+    cell_halo_color: Any          # [nCellHalo]
 
 
 def _exchange(field, export_idx, src_shard, src_idx, n_owned):
@@ -59,15 +61,76 @@ def _exchange(field, export_idx, src_shard, src_idx, n_owned):
     return jnp.concatenate([field[:n_owned], halo], axis=0)
 
 
+def color_halo_graph(edges, n_shards):
+    """Decompose the shard-neighbor digraph into partial permutations.
+
+    edges: set of (src_shard, dst_shard) pairs meaning 'dst needs halo
+    data owned by src'. Greedy bipartite edge coloring: each color
+    class uses every shard at most once as a source and once as a
+    target, so it is a valid lax.ppermute schedule. The number of
+    colors is bounded by ~2x the max shard neighbor degree — a
+    topology constant, independent of the shard count (a 2-D Morton
+    block touches O(1) neighbor blocks however many shards there are).
+
+    Returns (perms, color_of): perms[c] = [(src, dst), ...];
+    color_of[(src, dst)] = c."""
+    perms = []
+    src_used = []    # per color: sets of used sources / targets
+    dst_used = []
+    color_of = {}
+    # deterministic order; long edges first makes greedy tighter
+    for (r, s) in sorted(edges):
+        for ci in range(len(perms) + 1):
+            if ci == len(perms):
+                perms.append([])
+                src_used.append(set())
+                dst_used.append(set())
+            if r not in src_used[ci] and s not in dst_used[ci]:
+                perms[ci].append((r, s))
+                src_used[ci].add(r)
+                dst_used[ci].add(s)
+                color_of[(r, s)] = ci
+                break
+    return [tuple(p) for p in perms], color_of
+
+
+def _exchange_perm(field, export_idx, src_idx, halo_color, n_owned,
+                   perms):
+    """Halo refresh by point-to-point ppermute rounds.
+
+    The reference's dmpar halo exchange is point-to-point MPI to the
+    handful of blocks owning each halo layer
+    (mpas_seaice_velocity_solver.F:2546-2584 via mpas_dmpar); the
+    all_gather path instead ships every shard's exports everywhere
+    (S x nExport traffic). Here the shard-neighbor graph is
+    edge-colored at partition time (color_halo_graph) into K partial
+    permutations with K ~ the neighbor degree, so traffic is
+    K x nExport and each round is a single-hop ICI ppermute. Values
+    delivered are bitwise identical to the all_gather path."""
+    buf = field[export_idx]                       # [nExport, ...]
+    halo_shape = (halo_color.shape[0],) + field.shape[1:]
+    halo = jnp.zeros(halo_shape, field.dtype)
+    mshape = (-1,) + (1,) * (field.ndim - 1)
+    for ci, perm in enumerate(perms):
+        recv = jax.lax.ppermute(buf, AXIS, perm)
+        mask = (halo_color == ci).reshape(mshape)
+        halo = jnp.where(mask, recv[src_idx], halo)
+    return jnp.concatenate([field[:n_owned], halo], axis=0)
+
+
 class ShardedSeaIceModel:
     """Drop-in multi-device wrapper: same Config/semantics as
     SeaIceModel, state and tensors stacked on a leading shard axis."""
 
     def __init__(self, mesh: Mesh, cfg: Config, n_shards: int,
-                 dtype=jnp.float64, devices=None):
+                 dtype=jnp.float64, devices=None,
+                 halo_mode: str = "ring"):
+        """halo_mode: 'ring' (neighbor ppermutes, default) or
+        'allgather' (every shard ships its exports everywhere)."""
         self.global_mesh = mesh
         self.cfg = cfg
         self.dtype = dtype
+        self.halo_mode = halo_mode
         self.part = partition_mesh(mesh, n_shards)
         self.n_shards = n_shards
         if devices is None:
@@ -84,7 +147,35 @@ class ShardedSeaIceModel:
         def stack(field):
             return jnp.asarray(np.stack(field))
 
+        # edge-color the shard-neighbor graph into ppermute rounds;
+        # padded halo slots (global id -1) are not real edges — they
+        # get color -1 and never match a round
+        def halo_valid(b):
+            return (b.cell_global[b.n_cells_owned:] >= 0,
+                    b.vertex_global[b.n_vertices_owned:] >= 0)
+
+        edges = set()
+        for s, b in enumerate(self.part.blocks):
+            cv, vv = halo_valid(b)
+            for r in np.unique(b.cell_halo_src_shard[cv]):
+                edges.add((int(r), s))
+            for r in np.unique(b.vertex_halo_src_shard[vv]):
+                edges.add((int(r), s))
+        self.halo_perms, color_of = color_halo_graph(edges, n_shards)
+
+        def colors(src_shards, valid, s):
+            return np.array(
+                [color_of[(int(r), s)] if ok else -1
+                 for r, ok in zip(src_shards, valid)], np.int32)
+
+        v_col = [colors(b.vertex_halo_src_shard, halo_valid(b)[1], s)
+                 for s, b in enumerate(self.part.blocks)]
+        c_col = [colors(b.cell_halo_src_shard, halo_valid(b)[0], s)
+                 for s, b in enumerate(self.part.blocks)]
+
         self.halo = HaloMaps(
+            vertex_halo_color=stack(v_col),
+            cell_halo_color=stack(c_col),
             vertex_export_idx=stack(
                 [b.vertex_export_idx for b in self.part.blocks]),
             vertex_halo_src_shard=stack(
@@ -168,22 +259,36 @@ class ShardedSeaIceModel:
             tensors, halo, state, forcing = jax.tree.map(
                 lambda x: x[0], (tensors, halo, state, forcing))
 
+            if self.halo_mode == "ring":
+                def ex_vertex(f):
+                    return _exchange_perm(
+                        f, halo.vertex_export_idx,
+                        halo.vertex_halo_src_idx,
+                        halo.vertex_halo_color, n_v_own,
+                        self.halo_perms)
+
+                def exchange_cell(f):
+                    return _exchange_perm(
+                        f, halo.cell_export_idx,
+                        halo.cell_halo_src_idx,
+                        halo.cell_halo_color, n_c_own,
+                        self.halo_perms)
+            else:
+                def ex_vertex(f):
+                    return _exchange(f, halo.vertex_export_idx,
+                                     halo.vertex_halo_src_shard,
+                                     halo.vertex_halo_src_idx, n_v_own)
+
+                def exchange_cell(f):
+                    return _exchange(f, halo.cell_export_idx,
+                                     halo.cell_halo_src_shard,
+                                     halo.cell_halo_src_idx, n_c_own)
+
             def exchange_vertex_uv(u, v):
-                uv = jnp.stack([u, v], axis=-1)
-                uv = _exchange(uv, halo.vertex_export_idx,
-                               halo.vertex_halo_src_shard,
-                               halo.vertex_halo_src_idx, n_v_own)
+                uv = ex_vertex(jnp.stack([u, v], axis=-1))
                 return uv[..., 0], uv[..., 1]
 
-            def exchange_cell(f):
-                return _exchange(f, halo.cell_export_idx,
-                                 halo.cell_halo_src_shard,
-                                 halo.cell_halo_src_idx, n_c_own)
-
-            def exchange_vertex_field(f):
-                return _exchange(f, halo.vertex_export_idx,
-                                 halo.vertex_halo_src_shard,
-                                 halo.vertex_halo_src_idx, n_v_own)
+            exchange_vertex_field = ex_vertex
 
             vel_step = evp.make_velocity_solver(
                 cfg, halo_exchange_vertex=exchange_vertex_uv,

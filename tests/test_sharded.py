@@ -149,3 +149,54 @@ def test_sharded_spherical():
         tr_s["iceAreaCategory"],
         np.asarray(rout.tracers["iceAreaCategory"]),
         atol=1e-12, rtol=1e-9)
+
+
+def test_ring_matches_allgather_bitwise():
+    """The ppermute-ring halo exchange must be BITWISE identical to the
+    all_gather path — it gathers the same export-buffer entries, only
+    shipping them point-to-point (reference dmpar is point-to-point
+    MPI too)."""
+    cfg, mesh, area, vol, snow = _problem()
+    outs = {}
+    for mode in ("ring", "allgather"):
+        sm = ShardedSeaIceModel(mesh, cfg, 4, dtype=jnp.float64,
+                                halo_mode=mode)
+        sstate = sm.init_state(area, vol, snow)
+        sforcing = sm.scatter_forcing(
+            lambda m: box.box_forcing(m, t=0.0))
+        sstep = sm.make_step()
+        out, _ = sstep(sm.tensors, sm.halo, sstate, sforcing)
+        u, v = sm.gather_velocity(out)
+        outs[mode] = (u, v, sm.gather_tracers(out))
+    np.testing.assert_array_equal(outs["ring"][0], outs["allgather"][0])
+    np.testing.assert_array_equal(outs["ring"][1], outs["allgather"][1])
+    for k in outs["ring"][2]:
+        np.testing.assert_array_equal(outs["ring"][2][k],
+                                      outs["allgather"][2][k], err_msg=k)
+    # the edge-colored schedule must use few rounds even as the shard
+    # count grows: the neighbor degree is a topology constant
+    from seaice_tpu.parallel.partition import partition_mesh
+    from seaice_tpu.parallel.sharded import color_halo_graph
+    big = box.box_test_mesh(64, 64)
+    S = 32
+    part = partition_mesh(big, S)
+    edges = set()
+    for s, b in enumerate(part.blocks):
+        cv = b.cell_global[b.n_cells_owned:] >= 0
+        vv = b.vertex_global[b.n_vertices_owned:] >= 0
+        for r in np.unique(b.cell_halo_src_shard[cv]):
+            edges.add((int(r), s))
+        for r in np.unique(b.vertex_halo_src_shard[vv]):
+            edges.add((int(r), s))
+    perms, color_of = color_halo_graph(edges, S)
+    assert len(perms) < S // 2, \
+        f"{len(perms)} ppermute rounds for {S} shards is not sparse"
+    # every halo edge must be covered exactly once
+    covered = {e for p in perms for e in p}
+    assert covered == edges
+    # each round is a valid partial permutation
+    for p in perms:
+        srcs = [r for r, _ in p]
+        dsts = [s for _, s in p]
+        assert len(set(srcs)) == len(srcs)
+        assert len(set(dsts)) == len(dsts)
