@@ -27,7 +27,9 @@ from .itd_thermo import add_new_ice, lateral_melt
 from .driver import (AtmosForcing, OceanForcing, ColumnFluxes,
                      ColumnPhysics, slab_ocean_frzmlt)
 from . import mushy
-from .mushy_solver import temperature_changes_mushy
+from .mushy_solver import (temperature_changes_mushy,
+                           explicit_flow_velocities, flushing_velocity,
+                           solve_salinity, permeability_mush)
 from .zerolayer import zerolayer_temperature
 from . import snow
 from .aerosol import update_aerosol

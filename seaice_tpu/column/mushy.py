@@ -144,3 +144,12 @@ def conductivity_mush(zqin, zSin):
     T = temperature_mush(zqin, zSin)
     phi = liquid_fraction(T, zSin)
     return KI_MUSH * c.RHOI / 917.0 * (1.0 - phi) + KB_MUSH * phi
+
+
+def enthalpy_mush_liquid_fraction(zTin, phi):
+    """Mush enthalpy from temperature and a FIXED liquid fraction
+    (reference enthalpy_mush_liquid_fraction,
+    ice_mushy_physics.F90:310-324) — the form consistent with the
+    frozen-phi Picard heat matrix."""
+    return phi * (_CW - _CI) * zTin + _CI * zTin - \
+        (1.0 - phi) * _LI

@@ -3,16 +3,23 @@
 TPU-native re-design of the reference mushy temperature solve
 (`ice_therm_mushy.F90`: picard_solver :1128-1406 with
 solve_heat_conduction :2110 and the matrix_elements_* family
-:2345-2851): at each Picard iteration the liquid fraction phi is frozen,
-a tridiagonal system for the new temperatures is solved (effective heat
-capacity phi*(cw-ci)+ci, latent heat in the right-hand side), then phi
-is refreshed from the mushy liquidus — batched over all columns with
-per-column convergence masking, like the BL99 solver.
+:2345-2851): the liquid fraction phi is frozen at its step-initial
+value for the WHOLE solve (as in the reference, where phi is
+intent(in) throughout picard_solver); each Picard iteration re-solves
+a tridiagonal system for the new temperatures (effective heat capacity
+phi*(cw-ci)+ci, latent heat in the right-hand side) with re-linearized
+surface fluxes — batched over all columns with per-column convergence
+masking, like the BL99 solver.
 
-This round implements the q = w = 0 (no gravity drainage / flushing)
-configuration: bulk salinity is held fixed over the step. The drainage
-fluxes (picard_drainage/flushing_fluxes, solve_salinity) are round-2
-work (NOTES.md).
+Gravity drainage and flushing (reference explicit_flow_velocities
+:3005-3176, flushing_velocity :3182-3298, solve_salinity :2855-2931):
+the rapid-mode convective Darcy flow q and slow-mode desalination rate
+dSdt are computed once per step from the Rayleigh number of the mush
+(suffix min/sum scans replace the reference's bottom-up accumulation
+loop), the flushing velocity w from the pond hydraulic head through
+the harmonic-mean Golden-2007 permeability; q and w enter the Picard
+heat matrix as advective brine-heat terms, and bulk salinity evolves
+explicitly after convergence.
 """
 
 from __future__ import annotations
@@ -21,10 +28,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import constants as c
 from .bl99 import _tridiag
-from .mushy import (conductivity_mush, enthalpy_mush, liquid_fraction,
+from .mushy import (conductivity_mush, density_brine, enthalpy_brine,
+                    enthalpy_mush, enthalpy_mush_liquid_fraction,
+                    liquid_fraction, liquidus_brine_salinity,
                     temperature_mush)
 from .thermo_shared import (dsurface_heat_flux_dTsf,
                             snow_enthalpy_from_temperature,
@@ -36,6 +46,135 @@ DT_ERRMAX = 5.0e-4
 _CW = c.CP_OCN * c.RHOW
 _CI = c.CP_ICE * c.RHOI
 _LI = c.LFRESH * c.RHOI
+
+# drainage parameters (reference Registry.xml:1639-1668 defaults)
+A_RAPID_MODE = 0.5e-3      # brine channel radius (m)
+RAC_RAPID_MODE = 10.0      # critical Rayleigh number
+ASPECT_RAPID_MODE = 1.0    # convection cell aspect ratio
+DSDT_SLOW_MODE = -5.0e-8   # slow-mode drainage strength (m/s/K)
+PHI_C_SLOW_MODE = 0.05     # slow-mode porosity cutoff
+KAPPA_L = 8.824e-8         # heat diffusivity of liquid (m^2/s)
+S_MIN = 0.01               # minimum bulk salinity (ppt)
+
+
+def permeability_mush(phi):
+    """Golden et al. 2007 hierarchical-model permeability (reference
+    `permeability`, ice_therm_mushy.F90:2985-3001)."""
+    return 3.0e-8 * jnp.maximum(phi - 0.05, 0.0) ** 3
+
+
+def explicit_flow_velocities(dt, zSin, zTin, Tsf, Tbot, sss, qocn,
+                             hilyr, hin):
+    """Rapid-mode Darcy flow q and slow-mode desalination rate dSdt
+    (reference explicit_flow_velocities :3005-3176). The reference's
+    bottom-up running accumulations (min permeability, harmonic-mean
+    permeability, brine density sum from each layer to the ocean)
+    become flipped cumulative scans over the layer axis.
+
+    zSin/zTin [*B, ni]; the rest [*B]. Returns (q, dSdt, Sbr, qbr,
+    phi) all [*B, ni]; q[k] is the upward interface flow under layer
+    k."""
+    ni = zSin.shape[-1]
+    Sbr = liquidus_brine_salinity(zTin)
+    phi = liquid_fraction(zTin, zSin)
+    qbr = enthalpy_brine(zTin)
+    rho = density_brine(Sbr)
+    rho_ocn = density_brine(sss)[..., None]
+    ra_const = c.GRAVIT / (c.VISCOSITY_DYN * KAPPA_L)
+    qlimit = (0.2 * hilyr / dt)[..., None]
+
+    perm = permeability_mush(phi)
+
+    ax = perm.ndim - 1
+    perm_min = jax.lax.cummin(perm, axis=ax, reverse=True)
+    perm_harm = jax.lax.cumsum(1.0 / jnp.maximum(perm, 1.0e-30),
+                               axis=ax, reverse=True)
+    rho_sum = jax.lax.cumsum(rho, axis=ax, reverse=True)
+    rho_pipe = 0.5 * (rho + jnp.concatenate(
+        [rho[..., :1], rho[..., :-1]], -1))          # rho(0)=rho(1)
+
+    z = ((np.arange(ni) + 0.5) / ni) * hin[..., None]
+    drho = jnp.maximum(rho - rho_ocn, 0.0)
+    Ra = drho * (hin[..., None] - z) * perm_min * ra_const
+
+    rn = jnp.asarray(ni - np.arange(ni), zSin.dtype)  # layers k..bottom
+    L = rn * hilyr[..., None]
+    dx2 = (L * 2.0 * ASPECT_RAPID_MODE) ** 2
+    Am = dx2 * rn / (c.VISCOSITY_DYN * perm_harm)
+    Bm = -c.GRAVIT * rho_sum / rn
+    Ap = np.pi * A_RAPID_MODE ** 4 / (8.0 * c.VISCOSITY_DYN)
+    Bp = -rho_pipe * c.GRAVIT
+    q = jnp.maximum((Am / dx2) * ((-Ap * Bp - Am * Bm) / (Am + Ap) +
+                                  Bm), 1.0e-30)
+    q = jnp.minimum(q * jnp.maximum(Ra - RAC_RAPID_MODE, 0.0) /
+                    (Ra + c.PUNY), qlimit)
+
+    dSdt = DSDT_SLOW_MODE * \
+        jnp.maximum(zSin - PHI_C_SLOW_MODE * Sbr, 0.0) * \
+        jnp.maximum(Tbot - Tsf, 0.0)[..., None] / \
+        (hin[..., None] + 0.001)
+    dSdt = jnp.maximum(dSdt, -zSin * 0.5 / dt)
+
+    # safety limiter: never drive salinity below zSin_min = 0.1
+    Sbr_dn = jnp.concatenate([Sbr[..., 1:], sss[..., None] *
+                              jnp.ones_like(Sbr[..., :1])], -1)
+    dS_guess = ((q * (Sbr_dn - Sbr)) / hilyr[..., None] + dSdt) * \
+        dt * 10.0
+    alpha = jnp.where(jnp.abs(dS_guess) < c.PUNY, 1.0,
+                      (0.1 - zSin) / jnp.where(
+                          jnp.abs(dS_guess) < c.PUNY, 1.0, dS_guess))
+    alpha = jnp.where((alpha < 0.0) | (alpha > 1.0), 1.0, alpha)
+    return q * alpha, dSdt * alpha, Sbr, qbr, phi
+
+
+def flushing_velocity(dt, zTin, phi, hin, hsn, hilyr, hpond, apond):
+    """Downward flushing Darcy velocity from the pond hydraulic head
+    (reference flushing_velocity :3182-3298). All [*B]; phi/zTin
+    [*B, ni]. Returns w >= 0 [*B]."""
+    ni = phi.shape[-1]
+    perm = permeability_mush(phi)
+    phi_min = phi.min(-1)
+    ice_mass = ((phi * density_brine(liquidus_brine_salinity(zTin)) +
+                 (1.0 - phi) * c.RHOI).sum(-1)) * hilyr
+    perm_harm = ni / (1.0 / jnp.maximum(perm, 1.0e-30)).sum(-1)
+    hocn = (ice_mass + hpond * apond * c.RHOW + hsn * c.RHOS) / c.RHOW
+    dhhead = jnp.maximum(hin + hpond - hocn, 0.0)
+    w = perm_harm * c.RHOW * c.GRAVIT * \
+        (dhhead / jnp.maximum(hin, c.PUNY)) / c.VISCOSITY_DYN
+    w = jnp.minimum(w, hpond * apond / dt)
+    wlimit = (0.005 * phi_min * hilyr) / dt
+    w = jnp.where(jnp.abs(w) > c.PUNY,
+                  w * jnp.clip(wlimit / jnp.maximum(jnp.abs(w),
+                                                    c.PUNY), 0.0, 1.0),
+                  0.0)
+    return jnp.maximum(w, 0.0)
+
+
+def solve_salinity(dt, zSin, Sbr, Spond, sss, q, dSdt, w, hilyr):
+    """Explicit bulk-salinity update from drainage + flushing
+    (reference solve_salinity :2855-2931): upward Darcy flow advects
+    brine salinity from below, flushing advects from above (pond
+    water into the top layer), floored at S_min."""
+    Sbr_dn = jnp.concatenate(
+        [Sbr[..., 1:],
+         sss[..., None] * jnp.ones_like(Sbr[..., :1])], -1)
+    Sbr_up = jnp.concatenate(
+        [Spond[..., None] * jnp.ones_like(Sbr[..., :1]),
+         Sbr[..., :-1]], -1)
+    h = hilyr[..., None]
+    dS = (q * (Sbr_dn - Sbr)) / h + dSdt + \
+        (w[..., None] * (Sbr_up - Sbr)) / h
+    return zSin + jnp.maximum(S_MIN - zSin, dS * dt)
+
+
+def drainage_heat_fluxes(q, w, qbr, qocn, qpond):
+    """Advective heat to the ocean (reference picard_drainage_fluxes
+    :1710-1746 + picard_flushing_fluxes :1750-1771)."""
+    qbr_dn = jnp.concatenate(
+        [qbr[..., 1:],
+         qocn[..., None] * jnp.ones_like(qbr[..., :1])], -1)
+    fadv = -(q * (qbr_dn - qbr)).sum(-1)
+    return fadv + w * (qbr[..., -1] - qpond)
 
 
 class MushySolveResult(NamedTuple):
@@ -52,6 +191,9 @@ class MushySolveResult(NamedTuple):
     fcondtopn: jnp.ndarray
     fcondbot: jnp.ndarray
     converged: jnp.ndarray
+    zSin: jnp.ndarray        # bulk salinity after drainage (ppt)
+    fadvheat: jnp.ndarray    # advective heat to ocean (W/m^2)
+    w: jnp.ndarray           # flushing Darcy velocity (m/s)
 
 
 def _intercell(hilyr, hslyr, km, ks, l_snow, ns, ni):
@@ -93,10 +235,16 @@ def _intercell(hilyr, hslyr, km, ks, l_snow, ns, ni):
 def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
                               fswsfc, fswint, Sswabs, Iswabs,
                               hilyr, hslyr, zqin, zSin, zqsn,
-                              Tsf, Tbot) -> MushySolveResult:
+                              Tsf, Tbot, sss=None, hpond=None,
+                              apond=None) -> MushySolveResult:
     """Solve the mushy heat equation in all columns at once.
 
-    Shapes as in bl99.temperature_changes; zSin is held fixed (q=w=0)."""
+    Shapes as in bl99.temperature_changes. With sss given, gravity
+    drainage (rapid q + slow dSdt) and — with hpond/apond — pond
+    flushing w are active: q and w advect brine heat through the
+    Picard matrix and bulk salinity evolves explicitly after
+    convergence (reference temperature_changes_salinity :35-341).
+    With sss=None the q = w = 0 fixed-salinity configuration runs."""
     ns = zqsn.shape[-1]
     ni = zqin.shape[-1]
 
@@ -120,6 +268,26 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
     einit = (hil[..., None] * zqin).sum(-1) + \
         jnp.where(l_snow, (hsl[..., None] * zqsn0).sum(-1), 0.0)
     zeros = jnp.zeros_like(Tsf)
+
+    # drainage velocities, held fixed through the Picard iteration
+    # (reference temperature_changes_salinity :210-224)
+    hin = hil * ni
+    qocn = enthalpy_brine(Tbot)
+    qpond = jnp.zeros_like(Tsf)      # enthalpy_brine(0 C)
+    Spond = jnp.zeros_like(Tsf)
+    if sss is not None:
+        q, dSdt, _, _, _ = explicit_flow_velocities(
+            dt, zSin, zTin, Tsf, Tbot, sss, qocn, hil, hin)
+        if hpond is not None:
+            hsn = jnp.where(l_snow, hsl * ns, 0.0)
+            w = flushing_velocity(dt, zTin, phi, hin, hsn, hil,
+                                  hpond, apond)
+        else:
+            w = zeros
+    else:
+        q = jnp.zeros_like(zqin)
+        dSdt = jnp.zeros_like(zqin)
+        w = zeros
 
     def one_iteration(carry):
         # *_pp are the k-2 iterates (for the oscillation detector); the
@@ -195,19 +363,25 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
                             kc[..., i_n + 1] /
                             jnp.maximum(dxp[..., i_n + 1], c.PUNY))
             ceff = (phi[..., k] * (_CW - _CI) + _CI) / dt * hil
-            diag = ceff + kup + kdn
+            # advective brine-heat coupling (reference
+            # matrix_elements_* :2520-2560: upward Darcy q from below,
+            # downward flushing w from above, brine heat capacity cw)
+            diag = ceff + kup + kdn + (q[..., k] + w) * _CW
             rhs = (((1.0 - phi[..., k]) * _LI + zqin0[..., k]) / dt) * \
                 hil + Iswabs[..., k]
             sb = -kup
-            sp = -kdn
+            sp = -kdn - q[..., k] * _CW
             if k == 0:
-                # bare melting surface: Tsf = 0 enters the rhs
+                # bare melting surface: Tsf = 0 enters the rhs;
+                # flushing brings pond water into the top ice layer
                 warm_bare = (~l_snow) & (~l_cold)
                 sb = jnp.where(warm_bare, 0.0, sb)
-                rhs = jnp.where(warm_bare, rhs + kup * 0.0, rhs)
+                rhs = rhs + w * qpond
+            else:
+                sb = sb - w * _CW
             if k == ni - 1:
                 sp = zeros
-                rhs = rhs + kdn * Tbot
+                rhs = rhs + kdn * Tbot + q[..., k] * qocn
             SB[r], D[r], SP[r], R[r] = sb, diag, sp, rhs
 
         Tmat = _tridiag(jnp.stack(SB, -1), jnp.stack(D, -1),
@@ -223,13 +397,13 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
                              jnp.minimum(Tmat[..., 1:ns + 1], 0.0), 0.0)
         zTin_new = Tmat[..., ns + 1:]
 
-        # damp the liquid-fraction feedback: near the liquidus the
-        # frozen-phi linearization oscillates (latent heat jumps), so
-        # under-relax phi and, when the temperature iterate oscillates,
-        # average it with the previous iterate (the BL99 cond-2 trick)
-        osc = (zTin_new - zTin) * (zTin - zTin_pp) < 0.0
-        zTin_new = jnp.where(osc, 0.5 * (zTin_new + zTin), zTin_new)
-        phi_new = 0.5 * phi + 0.5 * liquid_fraction(zTin_new, zSin)
+        # phi stays FROZEN at its step-initial value through the whole
+        # Picard iteration, exactly like the reference (phi is
+        # intent(in) everywhere inside picard_solver :1128-1406 and
+        # picard_final :1923 rebuilds the enthalpy with it): with phi
+        # fixed the system is nearly linear and converges in a few
+        # iterations; the phase-change error is first order in dt
+        phi_new = phi
 
         # convergence: temperature change + energy closure (reference
         # check_picard_convergence)
@@ -237,7 +411,7 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             jnp.abs(Tsf_new - Tsf),
             jnp.maximum(jnp.abs(zTsn_new - zTsn).max(-1),
                         jnp.abs(zTin_new - zTin).max(-1)))
-        zqin_new = enthalpy_mush(zTin_new, zSin)
+        zqin_new = enthalpy_mush_liquid_fraction(zTin_new, phi)
         zqsn_new = snow_enthalpy_from_temperature(zTsn_new)
         efinal = (hil[..., None] * zqin_new).sum(-1) + \
             jnp.where(l_snow, (hsl[..., None] * zqsn_new).sum(-1), 0.0)
@@ -248,8 +422,10 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             (Tsf_new - zTin_new[..., 0]))
         fcondbot = 2.0 * km[..., ni - 1] * (zTin_new[..., ni - 1] -
                                             Tbot) / hil
+        fadv = drainage_heat_fluxes(q, w, enthalpy_brine(zTin_new),
+                                    qocn, qpond)
         ferr = jnp.abs((efinal - einit) / dt -
-                       (fcondtop - fcondbot + fswint))
+                       (fcondtop - fcondbot + fswint - fadv))
         conv = (dT < DT_ERRMAX) & (ferr < 0.9 * c.FERRMAX) & ~went_melt
 
         fsurfn_out = fsurfn + (Tsf_new - Tsf) * dfsurf_dT
@@ -279,10 +455,21 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
     (Tsf_f, zTsn_f, zTin_f, phi_f, _, _, _, fsurf_f, fct_f, fcb_f,
      flwout_f, fsens_f, flat_f, conv_f, _) = out
 
-    zqin_f = enthalpy_mush(zTin_f, zSin)
+    zqin_f = enthalpy_mush_liquid_fraction(zTin_f, phi_f)
     zqsn_f = snow_enthalpy_from_temperature(zTsn_f)
+    # explicit salinity evolution after the heat solve (reference
+    # picard_solver :1361 -> solve_salinity); the enthalpy keeps the
+    # pre-drainage salinity, exactly as the reference's zqin does
+    fadv_f = drainage_heat_fluxes(q, w, enthalpy_brine(zTin_f),
+                                  qocn, qpond)
+    if sss is not None:
+        zSin_f = solve_salinity(dt, zSin,
+                                liquidus_brine_salinity(zTin_f),
+                                Spond, sss, q, dSdt, w, hil)
+    else:
+        zSin_f = zSin
     return MushySolveResult(
         Tsf=Tsf_f, zTsn=zTsn_f, zTin=zTin_f, zqsn=zqsn_f, zqin=zqin_f,
         phi=phi_f, fsensn=fsens_f, flatn=flat_f, flwoutn=flwout_f,
         fsurfn=fsurf_f, fcondtopn=fct_f, fcondbot=fcb_f,
-        converged=conv_f)
+        converged=conv_f, zSin=zSin_f, fadvheat=fadv_f, w=w)

@@ -706,3 +706,132 @@ class TestTopoPonds:
                 qicen, Sz, apnd0, hpnd0, jnp.zeros((nb, ncat)))
         for v in out:
             assert np.isfinite(np.asarray(v)).all()
+
+
+# -- mushy gravity drainage + flushing (reference ice_therm_mushy.F90
+# explicit_flow_velocities :3005, flushing_velocity :3182,
+# solve_salinity :2855) ------------------------------------------------------
+
+class TestMushyDrainage:
+    def test_rapid_mode_rayleigh_gated(self):
+        from seaice_tpu.column.mushy_solver import (
+            explicit_flow_velocities, solve_salinity)
+        from seaice_tpu.column import mushy
+        ni = 7
+        sss = jnp.full((1,), 30.0)
+        qocn = mushy.enthalpy_brine(jnp.full((1,), -1.8))
+
+        def flow(zT, zS, h):
+            hilyr = jnp.full((1,), h / ni)
+            return explicit_flow_velocities(
+                3600.0, zS, zT, jnp.full((1,), -5.0),
+                jnp.full((1,), -1.8), sss, qocn, hilyr, hilyr * ni)
+
+        # young warm salty ice: convectively unstable -> q > 0
+        zT_warm = jnp.tile(jnp.linspace(-3.0, -1.9, ni), (1, 1))
+        q_w, dS_w, Sbr_w, _, phi_w = flow(
+            zT_warm, jnp.full((1, ni), 14.0), 0.5)
+        assert float(q_w.max()) > 0.0
+        # cold low-porosity ice: Rayleigh-subcritical -> q == 0
+        zT_cold = jnp.tile(jnp.linspace(-20.0, -4.0, ni), (1, 1))
+        q_c, _, _, _, _ = flow(zT_cold, jnp.full((1, ni), 5.0), 2.0)
+        np.testing.assert_array_equal(np.asarray(q_c), 0.0)
+        # slow mode desalinates growing ice (Tbot > Tsf)
+        assert float(dS_w.max()) < 0.0
+        # salinity update: desalination, never below S_min
+        hilyr = jnp.full((1,), 0.5 / ni)
+        zS0 = jnp.full((1, ni), 14.0)
+        zS1 = zS0
+        for _ in range(200):
+            zS1 = solve_salinity(3600.0, zS1, Sbr_w, jnp.zeros((1,)),
+                                 sss, q_w, dS_w, jnp.zeros((1,)), hilyr)
+        assert float(zS1.max()) < 14.0
+        assert float(zS1.min()) >= 0.01 - 1e-12
+
+    def test_flushing_velocity_requires_head_and_permeability(self):
+        from seaice_tpu.column.mushy_solver import flushing_velocity
+        ni = 7
+        hilyr = jnp.full((2,), 1.5 / ni)
+        hin = hilyr * ni
+        zT = jnp.full((2, ni), -1.0)
+        # row 0 permeable, row 1 impermeable (phi < 0.05)
+        phi = jnp.stack([jnp.full((ni,), 0.25), jnp.full((ni,), 0.03)])
+        w = flushing_velocity(3600.0, zT, phi, hin, jnp.zeros((2,)),
+                              hilyr, jnp.full((2,), 0.2),
+                              jnp.full((2,), 0.4))
+        assert float(w[0]) > 0.0
+        assert float(w[1]) == 0.0
+        # no pond -> no flushing
+        w2 = flushing_velocity(3600.0, zT, phi, hin, jnp.zeros((2,)),
+                               hilyr, jnp.zeros((2,)), jnp.zeros((2,)))
+        assert float(jnp.abs(w2).max()) == 0.0
+
+    def test_solver_with_drainage_converges_and_desalinates(self):
+        from seaice_tpu.column.mushy_solver import \
+            temperature_changes_mushy
+        from seaice_tpu.column import mushy
+        nb, ni, ns = 3, 7, 1
+        zTin = jnp.tile(jnp.linspace(-12.0, -2.2, ni), (nb, 1))
+        S = jnp.full((nb, ni), 8.0)
+        zqin = mushy.enthalpy_mush(zTin, S)
+        hilyr = jnp.full((nb,), 1.2 / ni)
+        zqsn = jnp.full((nb, ns), -0.5e8)
+        Tsf = jnp.full((nb,), -15.0)
+        args = dict(rhoa=jnp.full((nb,), 1.3),
+                    flw=jnp.full((nb,), 180.0),
+                    potT=jnp.full((nb,), 250.0),
+                    Qa=jnp.full((nb,), 0.0004),
+                    shcoef=jnp.full((nb,), 10.0),
+                    lhcoef=jnp.full((nb,), 20.0),
+                    fswsfc=jnp.zeros((nb,)), fswint=jnp.zeros((nb,)),
+                    Sswabs=jnp.zeros((nb, ns)),
+                    Iswabs=jnp.zeros((nb, ni)))
+        step = jax.jit(lambda zq, zS, T: temperature_changes_mushy(
+            3600.0, hilyr=hilyr, hslyr=jnp.zeros((nb,)), zqin=zq,
+            zSin=zS, zqsn=zqsn, Tsf=T, Tbot=jnp.full((nb,), -1.8),
+            sss=jnp.full((nb,), 32.0), **args))
+        for i in range(24):
+            res = step(zqin, S, Tsf)
+            assert bool(res.converged.all())
+            zqin, S, Tsf = res.zqin, res.zSin, res.Tsf
+        assert float(S.mean()) < 8.0          # slow-mode desalination
+        assert np.isfinite(np.asarray(res.fadvheat)).all()
+        # no-drainage call still works and leaves salinity untouched
+        res0 = temperature_changes_mushy(
+            3600.0, hilyr=hilyr, hslyr=jnp.zeros((nb,)), zqin=zqin,
+            zSin=S, zqsn=zqsn, Tsf=Tsf, Tbot=jnp.full((nb,), -1.8),
+            **args)
+        np.testing.assert_array_equal(np.asarray(res0.zSin),
+                                      np.asarray(S))
+        assert float(jnp.abs(res0.w).max()) == 0.0
+
+    def test_warm_thin_ice_converges_energy_exact(self):
+        """Warm summer profile that oscillated under per-iteration phi
+        refresh; the reference-faithful frozen-phi solve converges with
+        machine-exact energy closure including drainage + flushing."""
+        from seaice_tpu.column.mushy_solver import \
+            temperature_changes_mushy
+        from seaice_tpu.column import mushy
+        nb, ni, ns = 4, 7, 1
+        zTin = jnp.tile(jnp.linspace(-6.0, -2.0, ni), (nb, 1))
+        S = jnp.full((nb, ni), 10.0)
+        zqin = mushy.enthalpy_mush(zTin, S)
+        hilyr = jnp.full((nb,), 0.8 / ni)
+        res = temperature_changes_mushy(
+            3600.0, rhoa=jnp.full((nb,), 1.3),
+            flw=jnp.full((nb,), 200.0), potT=jnp.full((nb,), 255.0),
+            Qa=jnp.full((nb,), 0.0005), shcoef=jnp.full((nb,), 10.0),
+            lhcoef=jnp.full((nb,), 20.0), fswsfc=jnp.zeros((nb,)),
+            fswint=jnp.zeros((nb,)), Sswabs=jnp.zeros((nb, ns)),
+            Iswabs=jnp.zeros((nb, ni)), hilyr=hilyr,
+            hslyr=jnp.zeros((nb,)), zqin=zqin, zSin=S,
+            zqsn=jnp.full((nb, ns), -0.5e8),
+            Tsf=jnp.full((nb,), -8.0), Tbot=jnp.full((nb,), -1.8),
+            sss=jnp.full((nb,), 32.0), hpond=jnp.full((nb,), 0.05),
+            apond=jnp.full((nb,), 0.3))
+        assert bool(res.converged.all())
+        dE = np.asarray((hilyr[:, None] * (res.zqin - zqin)).sum(-1) /
+                        3600.0)
+        flux = np.asarray(res.fcondtopn - res.fcondbot - res.fadvheat)
+        np.testing.assert_allclose(dE, flux, atol=1e-3)
+        assert float(res.w.min()) > 0.0    # pond head drives flushing
