@@ -29,7 +29,8 @@ from .driver import (AtmosForcing, OceanForcing, ColumnFluxes,
 from . import mushy
 from .mushy_solver import (temperature_changes_mushy,
                            explicit_flow_velocities, flushing_velocity,
-                           solve_salinity, permeability_mush)
+                           solve_salinity, permeability_mush,
+                           flood_ice, FloodResult)
 from .zerolayer import zerolayer_temperature
 from . import snow
 from .aerosol import update_aerosol

@@ -473,3 +473,137 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
         phi=phi_f, fsensn=fsens_f, flatn=flat_f, flwoutn=flwout_f,
         fsurfn=fsurf_f, fcondtopn=fct_f, fcondbot=fcb_f,
         converged=conv_f, zSin=zSin_f, fadvheat=fadv_f, w=w)
+
+
+# -- snow-ice formation (flooding) ------------------------------------------
+
+class FloodResult(NamedTuple):
+    zqsn: jnp.ndarray      # regridded snow enthalpy [*B, ns]
+    zqin: jnp.ndarray      # regridded ice enthalpy [*B, ni]
+    zSin: jnp.ndarray      # regridded bulk salinity [*B, ni]
+    phi: jnp.ndarray       # regridded liquid fraction [*B, ni]
+    hilyr: jnp.ndarray     # new ice layer thickness [*B]
+    hslyr: jnp.ndarray     # new snow layer thickness [*B]
+    snoice: jnp.ndarray    # snow-ice formed (m) [*B]
+    eadded: jnp.ndarray    # ocean energy used (W/m^2) [*B]
+    wadded: jnp.ndarray    # ocean water mass used (kg/m^2/s) [*B]
+    sadded: jnp.ndarray    # ocean salt used (kg/m^2/s) [*B]
+
+
+def _overlap_regrid(trc, hlyr1, hlyr2, shift):
+    """Conservative overlap regrid of equal-thickness layers: new cell
+    k2 = [k2 h2, (k2+1) h2), old cell k1 = [k1 h1 + shift, ...). The
+    reference's double loop (update_vertical_tracers_* :3562-3703)
+    becomes one dense [new, old] overlap matrix contraction."""
+    nl = trc.shape[-1]
+    k = jnp.arange(nl, dtype=trc.dtype)
+    z2a = k * hlyr2[..., None]
+    z2b = (k + 1.0) * hlyr2[..., None]
+    z1a = k * hlyr1[..., None] + shift[..., None]
+    z1b = (k + 1.0) * hlyr1[..., None] + shift[..., None]
+    ov = jnp.maximum(
+        jnp.minimum(z1b[..., None, :], z2b[..., :, None]) -
+        jnp.maximum(z1a[..., None, :], z2a[..., :, None]), 0.0)
+    return (ov * trc[..., None, :]).sum(-1)
+
+
+def update_vertical_tracers_snow(trc, hlyr1, hlyr2):
+    """Regrid snow layers after snow-ice loss (reference :3562-3624)."""
+    return _overlap_regrid(trc, hlyr1, hlyr2,
+                           jnp.zeros_like(hlyr1)) / \
+        jnp.maximum(hlyr2, c.PUNY)[..., None]
+
+
+def update_vertical_tracers_ice(trc, hlyr1, hlyr2, h1, h2, trc0):
+    """Regrid ice layers with a new snow-ice band [0, h2-h1) of value
+    trc0 on top (reference :3628-3703)."""
+    nl = trc.shape[-1]
+    out = _overlap_regrid(trc, hlyr1, hlyr2, (h2 - h1))
+    k = jnp.arange(nl, dtype=trc.dtype)
+    z2a = k * hlyr2[..., None]
+    z2b = (k + 1.0) * hlyr2[..., None]
+    ov0 = jnp.maximum(
+        jnp.minimum((h2 - h1)[..., None], z2b) - jnp.maximum(0.0, z2a),
+        0.0)
+    out = out + ov0 * trc0[..., None]
+    return out / jnp.maximum(hlyr2, c.PUNY)[..., None]
+
+
+def enthalpy_snow_snowice(dh, hsn, zqsn):
+    """Mean enthalpy of the snow converted to snow ice — the bottom
+    dh of the snow pack (reference enthalpy_snow_snowice :3516-3558:
+    full bottom layers plus the partially-converted one)."""
+    ns = zqsn.shape[-1]
+    safe_h = jnp.maximum(hsn, c.PUNY)
+    rnlyr = (dh / safe_h) * ns
+    nlyr = jnp.minimum(jnp.floor(rnlyr), float(ns - 1))
+    k = jnp.arange(ns, dtype=zqsn.dtype)
+    full = k >= (ns - nlyr[..., None])          # bottom nlyr layers
+    safe_rn = jnp.maximum(rnlyr, c.PUNY)
+    q = jnp.where(full, zqsn, 0.0).sum(-1) / safe_rn
+    part = (k == (ns - 1.0 - nlyr[..., None]))
+    q = q + ((rnlyr - nlyr) / safe_rn) * \
+        jnp.where(part, zqsn, 0.0).sum(-1)
+    return jnp.where((hsn > c.PUNY) & (dh > 0.0), q, 0.0)
+
+
+def flood_ice(dt, hsn, hin, hslyr, hilyr, zqsn, zqin, zSin, phi,
+              Sbr, sss, qocn) -> FloodResult:
+    """Snow-ice formation when the snow load pushes the surface below
+    sea level (reference flood_ice, ice_therm_mushy.F90:3342-3512):
+    the flooded snow becomes mush with liquid fraction 1 - rhos/rhoi
+    filled with ocean brine, layers regrid conservatively, and the
+    ocean water/energy/salt used are returned for the coupler budget
+    (fadvheat -= eadded in the reference)."""
+    puny = c.PUNY
+    rho_ocn = density_brine(sss)
+    ice_density = jnp.minimum(
+        phi * density_brine(Sbr) + (1.0 - phi) * c.RHOI,
+        rho_ocn[..., None])
+    ice_mass = ice_density.sum(-1) * hilyr
+    snow_mass = c.RHOS * hsn
+    freeboard_density = jnp.maximum(
+        ice_mass + snow_mass - hin * rho_ocn, 0.0)
+    flooded = (hsn > puny) & (freeboard_density > 0.0)
+
+    phi_si = 1.0 - c.RHOS / c.RHOI
+    rho_si = phi_si * rho_ocn + (1.0 - phi_si) * c.RHOI
+    dh = freeboard_density / jnp.maximum(rho_ocn - rho_si + c.RHOS,
+                                         puny)
+    dh = jnp.where(flooded, jnp.clip(dh, 0.0, hsn), 0.0)
+
+    qsn_si = enthalpy_snow_snowice(dh, hsn, zqsn)
+    ni = zqin.shape[-1]
+    ns = zqsn.shape[-1]
+    hin2 = hin + dh
+    hsn2 = hsn - dh
+    hilyr2 = hin2 / ni
+    hslyr2 = hsn2 / ns
+
+    zSin_si = phi_si * sss
+    zqin_si = phi_si * qocn + qsn_si
+
+    zqsn2 = update_vertical_tracers_snow(zqsn, hslyr, hslyr2)
+    zqin2 = update_vertical_tracers_ice(zqin, hilyr, hilyr2, hin,
+                                        hin2, zqin_si)
+    zSin2 = update_vertical_tracers_ice(zSin, hilyr, hilyr2, hin,
+                                        hin2, zSin_si * jnp.ones_like(
+                                            sss))
+    phi2 = update_vertical_tracers_ice(phi, hilyr, hilyr2, hin, hin2,
+                                       phi_si * jnp.ones_like(sss))
+
+    fl = flooded[..., None]
+    hadded = dh * phi_si / dt
+    wadded = hadded * c.RHOI
+    return FloodResult(
+        zqsn=jnp.where(fl, zqsn2, zqsn),
+        zqin=jnp.where(fl, zqin2, zqin),
+        zSin=jnp.where(fl, zSin2, zSin),
+        phi=jnp.where(fl, phi2, phi),
+        hilyr=jnp.where(flooded, hilyr2, hilyr),
+        hslyr=jnp.where(flooded, hslyr2, hslyr),
+        snoice=dh,
+        eadded=jnp.where(flooded, hadded * qocn, 0.0),
+        wadded=jnp.where(flooded, wadded, 0.0),
+        sadded=jnp.where(flooded,
+                         wadded * c.ICE_REF_SALINITY * 1.0e-3, 0.0))

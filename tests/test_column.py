@@ -835,3 +835,49 @@ class TestMushyDrainage:
         flux = np.asarray(res.fcondtopn - res.fcondbot - res.fadvheat)
         np.testing.assert_allclose(dE, flux, atol=1e-3)
         assert float(res.w.min()) > 0.0    # pond head drives flushing
+
+    def test_flood_ice_snow_ice_formation(self):
+        """Heavy snow load floods: snow converts to snow ice, energy
+        gained equals the ocean brine energy eadded*dt, freeboard is
+        restored (reference flood_ice :3342-3512)."""
+        from seaice_tpu.column.mushy_solver import flood_ice
+        from seaice_tpu.column import mushy
+        nb, ni, ns = 3, 7, 1
+        # rows: heavy snow (floods) / light snow (no) / no snow
+        hin = jnp.full((nb,), 0.5)
+        hsn = jnp.array([0.4, 0.02, 0.0])
+        hilyr, hslyr = hin / ni, hsn / ns
+        zTin = jnp.full((nb, ni), -5.0)
+        zSin = jnp.full((nb, ni), 8.0)
+        zqin = mushy.enthalpy_mush(zTin, zSin)
+        zqsn = jnp.full((nb, ns), -1.1e8)
+        phi = mushy.liquid_fraction(zTin, zSin)
+        Sbr = mushy.liquidus_brine_salinity(zTin)
+        sss = jnp.full((nb,), 32.0)
+        qocn = mushy.enthalpy_brine(jnp.full((nb,), -1.8))
+        res = flood_ice(3600.0, hsn, hin, hslyr, hilyr, zqsn, zqin,
+                        zSin, phi, Sbr, sss, qocn)
+        sn = np.asarray(res.snoice)
+        assert sn[0] > 0.0 and sn[1] == 0.0 and sn[2] == 0.0
+        # thickness bookkeeping
+        np.testing.assert_allclose(float(res.hilyr[0] * ni),
+                                   0.5 + sn[0], rtol=1e-12)
+        np.testing.assert_allclose(float(res.hslyr[0] * ns),
+                                   0.4 - sn[0], rtol=1e-12)
+        # energy budget: gain = ocean brine energy folded into new mush
+        e0 = float((hilyr[0] * zqin[0]).sum() + (hslyr[0] * zqsn[0]).sum())
+        e1 = float((res.hilyr[0] * res.zqin[0]).sum() +
+                   (res.hslyr[0] * res.zqsn[0]).sum())
+        np.testing.assert_allclose(e1 - e0,
+                                   float(res.eadded[0]) * 3600.0,
+                                   rtol=1e-9)
+        # untouched rows bitwise unchanged
+        np.testing.assert_array_equal(np.asarray(res.zqin[1:]),
+                                      np.asarray(zqin[1:]))
+        # flooding restores non-negative freeboard
+        rho_ocn = float(mushy.density_brine(sss)[0])
+        mass = float((res.phi[0] * mushy.density_brine(
+            mushy.liquidus_brine_salinity(jnp.full((ni,), -5.0))) +
+            (1 - res.phi[0]) * 917.0).sum() * res.hilyr[0]) + \
+            330.0 * float(res.hslyr[0] * ns)
+        assert mass <= rho_ocn * float(res.hilyr[0] * ni) * 1.05
