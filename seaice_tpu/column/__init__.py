@@ -32,6 +32,7 @@ from .mushy_solver import (temperature_changes_mushy,
                            solve_salinity, permeability_mush,
                            flood_ice, FloodResult)
 from .zerolayer import zerolayer_temperature
+from .orbital import compute_coszen, solar_declination
 from . import snow
 from .aerosol import update_aerosol
 from .bgc import init_skl_bgc, step_skl_bgc, SklBgcState

@@ -131,7 +131,8 @@ class ColumnPhysics:
         """Vertical + ITD thermodynamics for one coupling step.
 
         coszen: cosine solar zenith (cell field), used by the dEdd
-        shortwave; if absent, a rough estimate from the incident flux.
+        shortwave — compute with column.orbital.compute_coszen; if
+        absent, a rough estimate from the incident flux.
         Returns (new tracers, ColumnFluxes)."""
         aicen, vicen, vsnon, at, it_, st = _split_tracers(tracers)
         tsfc = at["surfaceTemperature"]

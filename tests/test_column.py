@@ -881,3 +881,33 @@ class TestMushyDrainage:
             (1 - res.phi[0]) * 917.0).sum() * res.hilyr[0]) + \
             330.0 * float(res.hslyr[0] * ns)
         assert mass <= rho_ocn * float(res.hilyr[0] * ni) * 1.05
+
+
+def test_orbital_coszen():
+    """Zenith geometry (reference ice_orbital.F90 analog): subsolar
+    noon, polar night, and seasonal declination limits."""
+    from seaice_tpu.column.orbital import (compute_coszen,
+                                           solar_declination)
+    # equinox (~day 80): declination near zero, noon at lon 0 ->
+    # coszen ~ cos(lat)
+    for latd in (0.0, 45.0, 70.0):
+        lat = jnp.deg2rad(latd)
+        cz, _ = compute_coszen(lat, 0.0, 80.0, 43200.0)
+        np.testing.assert_allclose(float(cz), np.cos(np.deg2rad(latd)),
+                                   atol=0.03)
+    # midnight at lon 0, equator: sun below horizon
+    cz, _ = compute_coszen(0.0, 0.0, 80.0, 0.0)
+    assert float(cz) == 0.0
+    # polar night: 80N in late December, all day dark
+    secs = jnp.linspace(0.0, 86400.0, 25)
+    cz, _ = compute_coszen(jnp.deg2rad(80.0), 0.0, 355.0, secs)
+    assert float(cz.max()) == 0.0
+    # midnight sun: 80N in late June, sun up all day
+    cz, _ = compute_coszen(jnp.deg2rad(80.0), 0.0, 172.0, secs)
+    assert float(cz.min()) > 0.0
+    # declination bounds +-23.45 deg; distance factor ~3.4% annual swing
+    d = jnp.arange(1.0, 366.0)
+    decl, eccf = solar_declination(d)
+    assert abs(float(jnp.rad2deg(decl).max()) - 23.45) < 0.3
+    assert abs(float(jnp.rad2deg(decl).min()) + 23.45) < 0.3
+    assert 1.02 < float(eccf.max()) < 1.04 and 0.96 < float(eccf.min()) < 0.98
