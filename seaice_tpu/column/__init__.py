@@ -20,7 +20,8 @@ from .itd import (category_boundaries, aggregate_area, aggregate_state,
                   linear_itd_remap, ice_strength_hibler,
                   ice_strength_rothrock)
 from .ridging import ridge_ice
-from .atmo import atmo_boundary_layer, atmo_constant_coefficients
+from .atmo import (atmo_boundary_layer, atmo_constant_coefficients,
+                   neutral_drag_coeffs, FormDragResult)
 from .shortwave import shortwave_ccsm3
 from .dedd import shortwave_dedd, solve_dedd_column
 from .itd_thermo import add_new_ice, lateral_melt

@@ -911,3 +911,43 @@ def test_orbital_coszen():
     assert abs(float(jnp.rad2deg(decl).max()) - 23.45) < 0.3
     assert abs(float(jnp.rad2deg(decl).min()) + 23.45) < 0.3
     assert 1.02 < float(eccf.max()) < 1.04 and 0.96 < float(eccf.min()) < 0.98
+
+
+def test_form_drag_tsamados():
+    """Neutral form drag (reference neutral_drag_coeffs,
+    ice_atmo.F90:496-827): ridged ice raises drag above the skin
+    value, open water falls back to log-law/dragio defaults, and all
+    components stay within the reference caps."""
+    from seaice_tpu.column import neutral_drag_coeffs
+    import seaice_tpu.column.constants as cc
+    nb, ncat = 3, 5
+    hcat = jnp.array([0.3, 0.9, 1.6, 2.8, 4.5])
+    # rows: heavily ridged pack / fully level pack / open water
+    aicen = jnp.stack([jnp.full((ncat,), 0.19),
+                       jnp.full((ncat,), 0.19),
+                       jnp.zeros((ncat,))])
+    vicen = aicen * hcat
+    vsnon = aicen * 0.05
+    alvl = jnp.stack([jnp.full((ncat,), 0.3),
+                      jnp.ones((ncat,)),
+                      jnp.zeros((ncat,))])
+    apnd = jnp.full((nb, ncat), 0.2)
+    hpnd = jnp.full((nb, ncat), 0.1)
+    r = neutral_drag_coeffs(apnd, hpnd, alvl, aicen, vicen, vsnon)
+    cd_a, cd_o = np.asarray(r.Cdn_atm), np.asarray(r.Cdn_ocn)
+    # ridged pack has sails/keels -> higher drag than the level pack
+    assert float(r.hridge[0]) > 0.0 and float(r.hridge[1]) == 0.0
+    assert cd_a[0] > cd_a[1] and cd_o[0] > cd_o[1]
+    # open water: log-law atm default and bare ocean drag
+    np.testing.assert_allclose(
+        cd_a[2], (cc.VONKAR / np.log(cc.ZREF / cc.ICERUF)) ** 2,
+        rtol=1e-12)
+    np.testing.assert_allclose(cd_o[2], cc.DRAGIO, rtol=1e-12)
+    # caps respected and all components nonnegative
+    assert (cd_a <= 0.02 + 1e-15).all() and (cd_o <= 0.06 + 1e-15).all()
+    for f in r:
+        assert (np.asarray(f) >= -1e-15).all()
+    # geometry sanity: keel deeper than sail, draft < mean thickness
+    assert float(r.hkeel[0]) > float(r.hridge[0])
+    assert float(r.hdraft[0]) < float((vicen[0].sum() + 1e-9) /
+                                      aicen[0].sum()) + 0.1
