@@ -13,7 +13,8 @@ from .thermo_shared import (salinity_profile, melting_temperature,
                             ice_enthalpy_from_temperature,
                             ice_temperature_from_enthalpy,
                             snow_enthalpy_from_temperature,
-                            snow_temperature_from_enthalpy)
+                            snow_temperature_from_enthalpy,
+                            sea_freezing_temperature)
 from .bl99 import temperature_changes
 from .vertical import thermo_vertical, frzmlt_bottom_lateral
 from .itd import (category_boundaries, aggregate_area, aggregate_state,

@@ -82,3 +82,16 @@ def dsurface_heat_flux_dTsf(Tsf, rhoa, shcoef, lhcoef):
     dflat = -lhcoef * dQsfc
     dfsurf = dflwout + dfsens + dflat
     return dflwout, dfsens, dflat, dfsurf
+
+
+def sea_freezing_temperature(sss, tfrz_option: str = "minus1p8"):
+    """Ocean freezing temperature Tf(SSS) (reference
+    colpkg_sea_freezing_temperature, ice_colpkg.F90:1664-1686):
+    'minus1p8' -> constant -1.8 C; 'linear_salt' -> -depressT * sss;
+    'mushy' -> the mushy liquidus (consistent with ktherm=2)."""
+    if tfrz_option == "mushy":
+        from .mushy import liquidus_temperature
+        return liquidus_temperature(sss)
+    if tfrz_option == "linear_salt":
+        return -c.DEPRESST * sss
+    return jnp.full_like(jnp.asarray(sss, float), c.TOCNFRZ)

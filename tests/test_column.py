@@ -951,3 +951,18 @@ def test_form_drag_tsamados():
     assert float(r.hkeel[0]) > float(r.hridge[0])
     assert float(r.hdraft[0]) < float((vicen[0].sum() + 1e-9) /
                                       aicen[0].sum()) + 0.1
+
+
+def test_sea_freezing_temperature_options():
+    """tfrz_option selector (reference ice_colpkg.F90:1664-1686)."""
+    from seaice_tpu.column import sea_freezing_temperature
+    sss = jnp.array([0.0, 30.0, 34.0])
+    np.testing.assert_allclose(
+        np.asarray(sea_freezing_temperature(sss, "minus1p8")), -1.8)
+    np.testing.assert_allclose(
+        np.asarray(sea_freezing_temperature(sss, "linear_salt")),
+        [0.0, -0.054 * 30, -0.054 * 34], rtol=1e-12)
+    tf = np.asarray(sea_freezing_temperature(sss, "mushy"))
+    assert tf[0] == 0.0            # fresh water freezes at 0
+    assert -2.3 < tf[2] < -1.7     # seawater liquidus near -1.9 C
+    assert tf[2] < tf[1] < tf[0]   # saltier -> colder
