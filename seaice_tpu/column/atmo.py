@@ -38,14 +38,35 @@ class AtmoResult(NamedTuple):
 
 def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
                         natmiter: int = 5,
-                        sfctype: str = "ice") -> AtmoResult:
+                        sfctype: str = "ice",
+                        highfreq: bool = False,
+                        uvel=None, vvel=None,
+                        Cdn_atm=None) -> AtmoResult:
     """Transfer coefficients for sensible/latent heat + wind stress
-    (reference atmo_boundary_layer, ice_atmo.F90). All inputs [*B]."""
+    (reference atmo_boundary_layer, ice_atmo.F90). All inputs [*B].
+
+    highfreq (with uvel/vvel): the Roberts et al. 2014 high-frequency
+    coupling — wind speed and momentum flux use the ice-relative wind
+    (reference :175-210, :305-318). Cdn_atm: a neutral drag from the
+    Tsamados form-drag scheme replaces the log-law neutral coefficient
+    (reference formdrag branch :211-216)."""
+    if highfreq and uvel is None:
+        raise ValueError("highfreq coupling needs uvel/vvel")
     if sfctype == "ice":
         qqq, TTT, Lheat = c.QQQICE, c.TTTICE, c.LSUB
-        vmag = jnp.maximum(1.0, wind)
-        rdn = c.VONKAR / jnp.log(c.ZREF / c.ICERUF)
-        rdn = jnp.full_like(wind, rdn)
+        if highfreq:
+            du = uatm - uvel
+            dv = vatm - vvel
+            vmag = jnp.maximum(1.0, jnp.sqrt(du ** 2 + dv ** 2))
+        else:
+            vmag = jnp.maximum(1.0, wind)
+        if Cdn_atm is not None:
+            rdn = jnp.where(Cdn_atm > c.PUNY, jnp.sqrt(
+                jnp.maximum(Cdn_atm, c.PUNY)),
+                c.VONKAR / np.log(c.ZREF / c.ICERUF))
+        else:
+            rdn = c.VONKAR / jnp.log(c.ZREF / c.ICERUF)
+            rdn = jnp.full_like(wind, rdn)
     else:
         qqq, TTT, Lheat = c.QQQOCN, c.TTTOCN, c.LVAP
         vmag = jnp.maximum(1.0, wind)
@@ -93,9 +114,16 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
         tstar = rh * delt
         qstar = re * delq
 
-    tau = rhoa * ustar * rd
-    strx = tau * uatm
-    stry = tau * vatm
+    if highfreq and sfctype == "ice":
+        # Roberts et al. 2014: stress from the ice-relative wind
+        tau = rhoa * rd * rd
+        dmag = jnp.sqrt(du ** 2 + dv ** 2)
+        strx = tau * dmag * du
+        stry = tau * dmag * dv
+    else:
+        tau = rhoa * ustar * rd
+        strx = tau * uatm
+        stry = tau * vatm
 
     shcoef = rhoa * ustar * cp * rh + 1.0
     lhcoef = rhoa * ustar * Lheat * re

@@ -966,3 +966,30 @@ def test_sea_freezing_temperature_options():
     assert tf[0] == 0.0            # fresh water freezes at 0
     assert -2.3 < tf[2] < -1.7     # seawater liquidus near -1.9 C
     assert tf[2] < tf[1] < tf[0]   # saltier -> colder
+
+
+def test_atmo_highfreq_and_formdrag_coupling():
+    """highfreq (Roberts 2014 ice-relative wind) and formdrag neutral
+    coefficient wiring in the bulk boundary layer (reference
+    ice_atmo.F90:175-216, :305-318)."""
+    from seaice_tpu.column import atmo_boundary_layer
+    nb = 4
+    one = jnp.ones((nb,))
+    args = dict(Tsf=-5.0 * one, potT=260.0 * one, uatm=8.0 * one,
+                vatm=0.0 * one, wind=8.0 * one, zlvl=10.0 * one,
+                Qa=0.0005 * one, rhoa=1.3 * one)
+    base = atmo_boundary_layer(**args)
+    # ice moving with the wind reduces the highfreq stress
+    hf = atmo_boundary_layer(**args, highfreq=True,
+                             uvel=4.0 * one, vvel=0.0 * one)
+    assert float(hf.strx.mean()) < float(base.strx.mean())
+    assert float(hf.strx.min()) > 0.0
+    # stationary ice: highfreq stress close to the standard bulk value
+    hf0 = atmo_boundary_layer(**args, highfreq=True,
+                              uvel=0.0 * one, vvel=0.0 * one)
+    np.testing.assert_allclose(np.asarray(hf0.strx),
+                               np.asarray(base.strx), rtol=0.3)
+    # a larger form-drag coefficient raises the exchange coefficients
+    fd = atmo_boundary_layer(**args, Cdn_atm=0.004 * one)
+    assert float(fd.shcoef.mean()) > float(base.shcoef.mean())
+    assert float(fd.strx.mean()) > float(base.strx.mean())
