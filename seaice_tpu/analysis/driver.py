@@ -22,6 +22,7 @@ class AnalysisMember:
         self.compute_alarm = Alarm(compute_interval)
         self.write_alarm = Alarm(write_interval or compute_interval)
         self.results: Dict[str, Any] = {}
+        self.last_diags: Optional[Dict[str, Any]] = None
 
     # hooks (reference :43-52)
     def bootstrap(self, model, state):
@@ -61,10 +62,14 @@ class AnalysisDriver:
         for m in self.members:
             m.init(model, state)
 
-    def on_timestep(self, model, state, clock: ModelClock):
+    def on_timestep(self, model, state, clock: ModelClock,
+                    diags: Optional[Dict[str, Any]] = None):
         """precompute -> compute -> write, alarm-gated per member
-        (reference timeLoop integration :321-331)."""
+        (reference timeLoop integration :321-331).  diags: the step's
+        diagnostics dict (ridging rates, column fluxes, ...), stored on
+        each member as `last_diags` for members that consume them."""
         for m in self.members:
+            m.last_diags = diags
             m.precompute(model, state, clock)
             if m.compute_alarm.is_ringing(clock):
                 m.results = m.compute(model, state, clock) or {}

@@ -255,9 +255,214 @@ class TimeSeriesStatsMember(AnalysisMember):
         return out
 
 
+class RidgingDiagnosticsMember(AnalysisMember):
+    """Ridging rates and level/ridged partition (reference
+    mpas_seaice_ridging_diagnostics.F)."""
+
+    name = "ridging_diagnostics"
+
+    def compute(self, model, state, clock):
+        tr = state.tracers
+        out: Dict[str, Any] = {}
+        a = tr["iceAreaCategory"]
+        v = tr["iceVolumeCategory"]
+        if "levelIceArea" in tr:
+            alvl = (tr["levelIceArea"] * a).sum(-1)
+            out["levelIceAreaCell"] = np.asarray(alvl)
+            out["ridgedIceAreaCell"] = np.asarray(a.sum(-1) - alvl)
+        if "levelIceVolume" in tr:
+            vlvl = (tr["levelIceVolume"] * v).sum(-1)
+            out["levelIceVolumeCell"] = np.asarray(vlvl)
+            out["ridgedIceVolumeCell"] = np.asarray(v.sum(-1) - vlvl)
+        d = self.last_diags or {}
+        for k in ("dardg1dt", "dardg2dt", "dvirdgdt", "opening"):
+            if k in d:
+                out[k] = np.asarray(d[k])
+        return out
+
+
+class PondDiagnosticsMember(AnalysisMember):
+    """Pond area/depth/volume cell means (reference
+    mpas_seaice_pond_diagnostics.F)."""
+
+    name = "pond_diagnostics"
+
+    def compute(self, model, state, clock):
+        tr = state.tracers
+        if "pondArea" not in tr:
+            return {}
+        a = tr["iceAreaCategory"]
+        apnd = tr["pondArea"]
+        if "levelIceArea" in tr and \
+                model.cfg.column.pond_scheme == "lvl":
+            apnd = apnd * tr["levelIceArea"]
+        pond_area = (apnd * a).sum(-1)
+        pond_vol = (apnd * tr["pondDepth"] * a).sum(-1)
+        out = {
+            "pondAreaCell": np.asarray(pond_area),
+            "pondVolumeCell": np.asarray(pond_vol),
+            "pondDepthCell": np.asarray(
+                jnp.where(pond_area > c.PUNY,
+                          pond_vol / jnp.maximum(pond_area, c.PUNY),
+                          0.0)),
+        }
+        if "pondLidThickness" in tr:
+            out["pondLidThicknessCell"] = np.asarray(
+                (tr["pondLidThickness"] * apnd * a).sum(-1))
+        return out
+
+
+class GeographicalVectorsMember(AnalysisMember):
+    """Velocities/stresses rotated to geographic eastward/northward
+    components (reference mpas_seaice_geographical_vectors.F)."""
+
+    name = "geographical_vectors"
+
+    def compute(self, model, state, clock):
+        u = state.velocity.u_velocity
+        v = state.velocity.v_velocity
+        mesh = model.mesh
+        if getattr(mesh, "lat_vertex", None) is not None and \
+                getattr(mesh, "z_vertex", None) is not None:
+            from ..mesh.rotation import latlon_vector_rotation_reverse
+            ue, vn = latlon_vector_rotation_reverse(
+                np.asarray(u), np.asarray(v),
+                mesh.x_vertex, mesh.y_vertex, mesh.z_vertex)
+        else:   # planar mesh: already geographic
+            ue, vn = np.asarray(u), np.asarray(v)
+        return {"uVelocityGeo": np.asarray(ue),
+                "vVelocityGeo": np.asarray(vn)}
+
+
+class MiscellaneousMember(AnalysisMember):
+    """Derived per-cell quantities (reference
+    mpas_seaice_miscellaneous.F): mean thickness, snow depth, surface
+    temperature."""
+
+    name = "miscellaneous"
+
+    def compute(self, model, state, clock):
+        tr = state.tracers
+        a = tr["iceAreaCategory"]
+        aice = a.sum(-1)
+        safe = jnp.maximum(aice, c.PUNY)
+        out = {
+            "iceThicknessCell": np.asarray(
+                jnp.where(aice > c.PUNY,
+                          tr["iceVolumeCategory"].sum(-1) / safe, 0.0)),
+            "snowDepthCell": np.asarray(
+                jnp.where(aice > c.PUNY,
+                          tr["snowVolumeCategory"].sum(-1) / safe, 0.0)),
+        }
+        if "surfaceTemperature" in tr:
+            out["surfaceTemperatureCell"] = np.asarray(
+                jnp.where(aice > c.PUNY,
+                          (tr["surfaceTemperature"] * a).sum(-1) / safe,
+                          0.0))
+        return out
+
+
+class UnitConversionMember(AnalysisMember):
+    """Standard-unit copies of key outputs (reference
+    mpas_seaice_unit_conversion.F): velocity cm/s, concentration %,
+    hemispheric totals in 1e6 km^2 / km^3."""
+
+    name = "unit_conversion"
+
+    def compute(self, model, state, clock):
+        tr = state.tracers
+        aice = tr["iceAreaCategory"].sum(-1)
+        area_cell = model.tensors.area_cell
+        return {
+            "uVelocityCmPerS": np.asarray(
+                state.velocity.u_velocity * 100.0),
+            "vVelocityCmPerS": np.asarray(
+                state.velocity.v_velocity * 100.0),
+            "iceConcentrationPercent": np.asarray(aice * 100.0),
+            "totalIceExtentMkm2": float(
+                ((aice > 0.15) * area_cell).sum() / 1.0e12),
+            "totalIceVolumeKm3": float(
+                (tr["iceVolumeCategory"].sum(-1) * area_cell).sum() /
+                1.0e9),
+        }
+
+
+class IceShelvesMember(AnalysisMember):
+    """Statistics under/near land-ice (reference
+    mpas_seaice_ice_shelves.F): masked area/volume totals."""
+
+    name = "ice_shelves"
+
+    def __init__(self, land_ice_mask=None, **kw):
+        super().__init__(**kw)
+        self.land_ice_mask = land_ice_mask
+
+    def init(self, model, state):
+        if self.land_ice_mask is None:
+            self.land_ice_mask = jnp.zeros((model.mesh.n_cells,))
+
+    def compute(self, model, state, clock):
+        m = self.land_ice_mask
+        area_cell = model.tensors.area_cell
+        aice = state.tracers["iceAreaCategory"].sum(-1)
+        vice = state.tracers["iceVolumeCategory"].sum(-1)
+        return {
+            "iceAreaShelf": float((aice * m * area_cell).sum()),
+            "iceVolumeShelf": float((vice * m * area_cell).sum()),
+        }
+
+
+class ClimatologyStatsMember(TimeSeriesStatsMember):
+    """Climatology instance of the time-series engine (reference
+    time_series_stats climatology XML instance): accumulates per
+    calendar month across years; compute returns the running monthly
+    climatology means."""
+
+    name = "time_series_stats_climatology"
+
+    def __init__(self, **kw):
+        kw.setdefault("compute_interval", 86400.0)
+        super().__init__(**kw)
+        self._monthly_sum: Dict[int, Dict[str, Any]] = {}
+        self._monthly_n: Dict[int, int] = {}
+
+    def precompute(self, model, state, clock):
+        cur = self._extract(state)
+        month = clock.month if hasattr(clock, "month") else (
+            int(clock.day_of_year // 30.5) % 12 + 1)
+        if month not in self._monthly_sum:
+            self._monthly_sum[month] = {k: v.copy()
+                                        for k, v in cur.items()}
+            self._monthly_n[month] = 1
+        else:
+            for k, v in cur.items():
+                self._monthly_sum[month][k] += v
+            self._monthly_n[month] += 1
+
+    def compute(self, model, state, clock):
+        out = {}
+        for month, sums in self._monthly_sum.items():
+            n = max(self._monthly_n[month], 1)
+            for k, v in sums.items():
+                out[f"{k}_clim_m{month:02d}"] = v / n
+        return out
+
+
+def time_series_instances() -> List[AnalysisMember]:
+    """The daily/monthly/climatology windowed instances (reference
+    per-instance Registry XMLs of time_series_stats)."""
+    daily = TimeSeriesStatsMember(compute_interval=86400.0)
+    daily.name = "time_series_stats_daily"
+    monthly = TimeSeriesStatsMember(compute_interval=30 * 86400.0)
+    monthly.name = "time_series_stats_monthly"
+    return [daily, monthly, ClimatologyStatsMember()]
+
+
 def default_members(compute_interval: float = 86400.0
                     ) -> List[AnalysisMember]:
-    """The default-on member set (reference Registry defaults)."""
+    """The full member roster (reference src/analysis_members/: 19
+    registered members; deactivate_unneeded_fields is subsumed by the
+    lazy pytree state and TEMPLATE by the AnalysisMember base)."""
     return [
         HighFrequencyOutputMember(compute_interval),
         TemperaturesMember(compute_interval),
@@ -267,5 +472,12 @@ def default_members(compute_interval: float = 86400.0
         MaximumIcePresenceMember(compute_interval),
         AreaVariablesMember(compute_interval),
         LoadBalanceMember(compute_interval=compute_interval),
+        RidgingDiagnosticsMember(compute_interval),
+        PondDiagnosticsMember(compute_interval),
+        GeographicalVectorsMember(compute_interval),
+        MiscellaneousMember(compute_interval),
+        UnitConversionMember(compute_interval),
+        IceShelvesMember(compute_interval=compute_interval),
+        PointwiseStatsMember([0], compute_interval=compute_interval),
         TimeSeriesStatsMember(compute_interval=compute_interval),
-    ]
+    ] + time_series_instances()

@@ -55,9 +55,11 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
     if sfctype == "ice":
         qqq, TTT, Lheat = c.QQQICE, c.TTTICE, c.LSUB
         if highfreq:
+            # reference umin = 0.5 m/s in the highfreq branch
+            # (atmo_boundary_layer, ice_atmo.F90)
             du = uatm - uvel
             dv = vatm - vvel
-            vmag = jnp.maximum(1.0, jnp.sqrt(du ** 2 + dv ** 2))
+            vmag = jnp.maximum(0.5, jnp.sqrt(du ** 2 + dv ** 2))
         else:
             vmag = jnp.maximum(1.0, wind)
         if Cdn_atm is not None:
@@ -182,6 +184,7 @@ class FormDragResult(NamedTuple):
 
 
 def neutral_drag_coeffs(apnd, hpnd, alvl, aicen, vicen, vsnon,
+                        vlvl=None,
                         use_ponds: bool = True) -> FormDragResult:
     """Neutral form drag coefficients from the pack geometry
     (reference neutral_drag_coeffs, ice_atmo.F90:496-827; Tsamados
@@ -212,7 +215,8 @@ def neutral_drag_coeffs(apnd, hpnd, alvl, aicen, vicen, vsnon,
     ai = jnp.where(has, aice, 1.0)
     aii = 1.0 / ai
 
-    apond = (apnd * alvl * aicen).sum(-1) if use_ponds else \
+    # reference uses apnd(n)*aicen(n) directly (no alvl factor)
+    apond = (apnd * aicen).sum(-1) if use_ponds else \
         jnp.zeros_like(aice)
 
     # draft and freeboard (Eq. 27-28, Stoessel 1993 snow correction)
@@ -228,9 +232,12 @@ def neutral_drag_coeffs(apnd, hpnd, alvl, aicen, vicen, vsnon,
     lfloe = Lmin * (astar / jnp.maximum(astar - ai, puny)) ** beta
     dfloe = lfloe * (1.0 / jnp.sqrt(ai) - 1.0)
 
-    # ridge/keel geometry from the ridged fraction (Eq. 25-26)
+    # ridge/keel geometry from the ridged fraction (Eq. 25-26);
+    # ridged volume uses the separate level-volume tracer vlvl
+    # (reference: (1-vlvl(n))*vicen(n)), falling back to alvl
     ardg = ((1.0 - alvl) * aicen).sum(-1)
-    vrdg = ((1.0 - alvl) * vicen).sum(-1)
+    vlvl_eff = alvl if vlvl is None else vlvl
+    vrdg = ((1.0 - vlvl_eff) * vicen).sum(-1)
     has_rdg = has & (ardg > 0.001)
     safe_ardg = jnp.maximum(ardg, puny)
     hridge = vrdg / safe_ardg * 2.0 * \

@@ -250,36 +250,109 @@ def solve_dedd_column(taus, w0s, gs_list, coszen, kfrsnl: int,
     return {
         "albedo_dr": rupdir[0], "albedo_df": rupdif[0],
         "abs_dir": abs_dir, "abs_dif": abs_dif,
+        "net_dn_dir": [dn_dir[k] - up_dir[k] for k in range(K + 1)],
+        "net_dn_dif": [dn_dif[k] - up_dif[k] for k in range(K + 1)],
         "trans_dr": dn_dir[K] - up_dir[K],
         "trans_df": dn_dif[K] - up_dif[K],
     }
 
 
+# ponded-ice IOPs (reference :2178-2186)
+KI_P_SSL = np.array([70.2, 77.7, 1309.0])
+WI_P_SSL = np.array([0.9972, 0.9009, 0.0305])
+GI_P_SSL = np.array([0.94, 0.94, 0.94])
+KI_P_INT = np.array([20.2, 27.7, 1445.0])
+WI_P_INT = np.array([0.9901, 0.7223, 0.0277])
+GI_P_INT = np.array([0.94, 0.94, 0.94])
+# scattering-coefficient tuning fractions (reference :2203-2206)
+FP_ICE, FM_ICE = 0.15, 0.15
+FP_PND, FM_PND = 2.00, 0.50
+HP0 = 0.200          # pond depth above which fully ponded optics
+HPMIN = 0.005        # minimum radiatively active pond depth
+HS_MIN_SW = 1.0e-4   # minimum snow depth for snow cover
+
+
+def _tune_iops(k_mn, w_mn, R, fp, fm):
+    """Scattering-coefficient tuning (reference :2303-2341)."""
+    f = fp if R >= 0.0 else fm
+    sigp = max(k_mn * w_mn * (1.0 + f * R), 0.0)
+    k = sigp + k_mn * (1.0 - w_mn)
+    return k, sigp / k
+
+
 def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
                    swvdr, swvdf, swidr, swidf,
                    n_ice_layers: int, n_snow_layers: int = 1,
-                   snow_grain_radius: float = 180.0):
+                   apnd=None, hpnd=None, rsnw=None,
+                   R_ice: float = 0.0, R_pnd: float = 0.0,
+                   R_snw: float = 1.5, dT_mlt: float = 1.5,
+                   rsnw_mlt: float = 1500.0, hs0: float = 0.0):
     """Delta-Eddington albedos and absorbed-solar partition, with the
     ShortwaveResult interface of shortwave_ccsm3 (reference
-    shortwave_dEdd + compute_dEdd assembly).
+    shortwave_dEdd :1187 + compute_dEdd :1674 assembly, run_dEdd
+    surface-type fractions :940-1100).
 
-    Stack: [snow SSL, snow body, ice SSL, ice DL, (ni-1) interior].
-    Snow rows are blended out (tau -> 0) for bare ice columns; the
-    Fresnel layer sits at the ice SSL. Bands: visible + two NIR with
-    the reference's weighting (fnidr ~ direct fraction of NIR).
+    Layer geometry follows compute_dEdd exactly (:2280-2296): the snow
+    SSL is carved out of the TOP snow layer (dzk0 = min(hs_ssl, dz/2)),
+    the ice SSL out of the top ice layer, the DL is the remainder of
+    the top ice layer with its optical depth scaled by fs = 0.25/nilyr
+    (:2701), and the remaining ice layers are hi/nilyr.  Absorption
+    booking follows the ksrf logic (:2965-3030): for snow-covered
+    columns only the snow SSL is booked to the surface — snow-body
+    absorption goes to Sswabs and ice SSL+DL absorption to Iswabs(1);
+    for bare/ponded columns the rows above the ice DL go to the
+    surface and the DL into Iswabs(1).
+
+    apnd/hpnd: effective pond fraction of the category area (already
+    scheme-adjusted by the caller, e.g. apnd*alvl for level-ice ponds)
+    and pond depth; enables the ponded surface type (srftyp==2) with
+    pond-water layers above ponded-ice IOPs and a Fresnel layer at the
+    pond surface (kfrsnl=0), with the hpmin<=hp<=hp0 transition
+    blending (:2873-2900).
+    rsnw: per-snow-layer grain radius tracer [*B, nCat, ns]; default
+    is the reference's Tsfc-dependent parametric radius (set_snow
+    :3693-3711) with tuning R_snw.
     """
     from .shortwave import ShortwaveResult
 
-    ni, ns = n_ice_layers, n_snow_layers
+    ni, ns_l = n_ice_layers, n_snow_layers
+    dtype = aicen.dtype
     has = aicen > c.PUNY
     safe_a = jnp.where(has, aicen, 1.0)
     hi = jnp.maximum(jnp.where(has, vicen / safe_a, 0.0), 1e-4)
     hs = jnp.where(has, vsnon / safe_a, 0.0)
-    l_snow = hs > c.PUNY
+    l_snow = hs >= HS_MIN_SW
 
     mu = jnp.maximum(coszen, 0.01)
     if mu.ndim == aicen.ndim - 1:
         mu = mu[..., None] * jnp.ones_like(aicen)
+
+    # surface-type fractions (run_dEdd :976-1080, set_snow :3679)
+    fs = jnp.where(l_snow, 1.0, 0.0)
+    if hs0 > c.PUNY:
+        fs = jnp.where(l_snow, jnp.minimum(hs / hs0, 1.0), 0.0)
+    if apnd is not None:
+        hp = jnp.maximum(hpnd, 0.0)
+        fp = jnp.where(hp >= HPMIN, jnp.clip(apnd, 0.0, 1.0), 0.0)
+        fs = jnp.minimum(fs, 1.0 - fp)
+    else:
+        hp = None
+        fp = jnp.zeros_like(aicen)
+    fi = jnp.maximum(1.0 - fs - fp, 0.0)
+
+    # snow grain radius per optical snow row (SSL + body use the top
+    # layer's radius; deeper rows their own)
+    if rsnw is not None:
+        r_rows = [jnp.clip(rsnw[..., 0], 54.526, 1500.0)] * 2 + \
+            [jnp.clip(rsnw[..., k], 54.526, 1500.0)
+             for k in range(1, ns_l)]
+    else:
+        dTs = c.TIMELT - Tsfcn
+        fT = -jnp.minimum(dTs / dT_mlt - 1.0, 0.0)
+        rsnw_nm = np.clip(500.0 - R_snw * 250.0, 100.0, rsnw_mlt)
+        r_par = jnp.clip(rsnw_nm + (rsnw_mlt - rsnw_nm) * fT,
+                         100.0, rsnw_mlt)
+        r_rows = [r_par] * (ns_l + 1)
 
     # band weights (reference :2252-2255)
     fnidr = swidr / jnp.maximum(swidr + swidf, c.PUNY)
@@ -287,88 +360,162 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
     swdr_b = [swvdr, swidr * w2, swidr * (1.0 - w2)]
     swdf_b = [swvdf, swidf * w2, swidf * (1.0 - w2)]
 
-    # layer thicknesses
-    dzs_ssl = jnp.minimum(HS_SSL, 0.5 * jnp.maximum(hs, c.PUNY))
-    dzs_body = jnp.maximum(hs - dzs_ssl, 0.0)
-    dzi_ssl = jnp.minimum(HI_SSL, hi / 30.0)
-    dzi_lyr = hi / ni
-    dzi_dl = jnp.maximum(dzi_lyr * 0.25, 1e-6)
-    dz_int = jnp.maximum((hi - dzi_ssl - dzi_dl) / jnp.maximum(ni - 1,
-                                                               1), 1e-6)
-    kfrsnl = 2          # stack index of the ice SSL
-
-    K = 4 + (ni - 1)
-    alb_dr = []
-    alb_df = []
-    abs_srf = jnp.zeros_like(aicen)
-    abs_int = jnp.zeros_like(aicen)
-    Iswabs = jnp.zeros(aicen.shape + (ni,), aicen.dtype)
-    fswthru = jnp.zeros_like(aicen)
-    total_in = jnp.zeros_like(aicen)
+    # layer thicknesses (compute_dEdd :2278-2296)
+    dz_s = hs / ns_l
+    dzs_rows = [jnp.minimum(HS_SSL, dz_s / 2.0)]
+    dzs_rows.append(dz_s - dzs_rows[0])
+    for _ in range(ns_l - 1):
+        dzs_rows.append(dz_s)
+    dz_i = hi / ni
+    dzi_ssl = jnp.minimum(jnp.minimum(HI_SSL, hi / 30.0), dz_i / 2.0)
+    dzi_dl = dz_i - dzi_ssl
+    fs_dl = 0.25 / ni           # DL tau scaling (:2701)
+    kfrsnl = ns_l + 2           # Fresnel at top of the ice DL (:3396)
+    n_srf_rows = ns_l + 2       # rows above the DL (snow + ice SSL)
+    K = ns_l + ni + 2
 
     def bsc(x):
         return x[..., None] * jnp.ones_like(aicen) if \
             x.ndim == aicen.ndim - 1 else x
 
+    zero = jnp.zeros_like(aicen)
+    abs_srf = zero
+    abs_int = zero
+    Iswabs = jnp.zeros(aicen.shape + (ni,), dtype)
+    Sswabs = jnp.zeros(aicen.shape + (ns_l,), dtype)
+    fswthru = zero
+    alvdr = alvdf = alidr = alidf = zero
+
     for b in range(3):
-        qs, ws_s, gs_s = snow_iops(jnp.asarray(snow_grain_radius,
-                                               aicen.dtype), b)
-        # snow extinction: ks = Qs * (rhos/rhoi) * 3/(4 r)
-        ks = qs * (c.RHOS / 917.0) * 3.0 / \
-            (4.0 * snow_grain_radius * 1e-6)
-        zero = jnp.zeros_like(aicen)
-        taus = [jnp.where(l_snow, ks * dzs_ssl, 0.0),
-                jnp.where(l_snow, ks * dzs_body, 0.0),
-                KI_SSL[b] * dzi_ssl,
-                KI_DL[b] * dzi_dl]
-        w0s = [jnp.full_like(aicen, ws_s),
-               jnp.full_like(aicen, ws_s),
-               jnp.full_like(aicen, WI_SSL[b]),
-               jnp.full_like(aicen, WI_DL[b])]
-        gls = [jnp.full_like(aicen, gs_s),
-               jnp.full_like(aicen, gs_s),
-               jnp.full_like(aicen, GI_SSL[b]),
-               jnp.full_like(aicen, GI_DL[b])]
+        ki_ssl, wi_ssl = _tune_iops(KI_SSL[b], WI_SSL[b], R_ice,
+                                    FP_ICE, FM_ICE)
+        ki_dl, wi_dl = _tune_iops(KI_DL[b], WI_DL[b], R_ice,
+                                  FP_ICE, FM_ICE)
+        ki_int, wi_int = _tune_iops(KI_INT[b], WI_INT[b], R_ice,
+                                    FP_ICE, FM_ICE)
+
+        # snow/bare stack: snow rows masked out for bare columns
+        taus, w0s, gls = [], [], []
+        for k in range(ns_l + 1):
+            qs, ws_s, gs_s = snow_iops(r_rows[k], b)
+            ks = qs * (c.RHOS / c.RHOI) * 3.0 / \
+                (4.0 * r_rows[k] * 1e-6)
+            taus.append(jnp.where(l_snow, ks * dzs_rows[k], 0.0))
+            w0s.append(jnp.where(l_snow, ws_s, 0.0))
+            gls.append(jnp.where(l_snow, gs_s, 0.0))
+        taus += [ki_ssl * dzi_ssl, ki_dl * dzi_dl * fs_dl]
+        w0s += [jnp.full_like(aicen, wi_ssl),
+                jnp.full_like(aicen, wi_dl)]
+        gls += [jnp.full_like(aicen, GI_SSL[b]),
+                jnp.full_like(aicen, GI_DL[b])]
         for k in range(ni - 1):
-            taus.append(KI_INT[b] * dz_int)
-            w0s.append(jnp.full_like(aicen, WI_INT[b]))
+            taus.append(ki_int * dz_i)
+            w0s.append(jnp.full_like(aicen, wi_int))
             gls.append(jnp.full_like(aicen, GI_INT[b]))
 
         sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
                                 ALBOCN_DR[b], ALBOCN_DF[b])
-        alb_dr.append(sol["albedo_dr"])
-        alb_df.append(sol["albedo_df"])
         fdr = bsc(swdr_b[b])
         fdf = bsc(swdf_b[b])
-        total_in = total_in + fdr + fdf
-        # surface absorption = everything above the ice interior
-        # (reference ksrf logic): snow rows + ice SSL + DL
-        for k in range(4):
-            abs_srf = abs_srf + sol["abs_dir"][k] * fdr + \
-                sol["abs_dif"][k] * fdf
+
+        # net downward flux at each interface for the actual incident
+        F = [sol["net_dn_dir"][k] * fdr + sol["net_dn_dif"][k] * fdf
+             for k in range(K + 1)]
+
+        # ksrf booking (:2952-3030): snow -> interface 1;
+        # bare -> interface n_srf_rows
+        F_ksrf = jnp.where(l_snow, F[1], F[n_srf_rows])
+        sfc_b = F[0] - F_ksrf
+        int_b = F_ksrf - F[K]
+        thru_b = F[K]
+        Sabs_b = [jnp.where(l_snow, F[k] - F[k + 1], 0.0)
+                  for k in range(1, ns_l + 1)]
+        # top ice layer: SSL+DL if snow-covered, DL only if bare
+        Iabs_b = [jnp.where(l_snow,
+                            F[ns_l + 1] - F[ns_l + 3],
+                            F[ns_l + 2] - F[ns_l + 3])]
         for k in range(ni - 1):
-            a_k = sol["abs_dir"][4 + k] * fdr + \
-                sol["abs_dif"][4 + k] * fdf
-            abs_int = abs_int + a_k
-            Iswabs = Iswabs.at[..., k + 1].add(a_k)
-        fswthru = fswthru + sol["trans_dr"] * fdr + \
-            sol["trans_df"] * fdf
+            Iabs_b.append(F[ns_l + 3 + k] - F[ns_l + 4 + k])
+
+        w_sb = fs + fi          # snow+bare handled by one solve
+        abs_srf = abs_srf + w_sb * sfc_b
+        abs_int = abs_int + w_sb * int_b
+        fswthru = fswthru + w_sb * thru_b
+        for k in range(ns_l):
+            Sswabs = Sswabs.at[..., k].add(w_sb * Sabs_b[k])
+        for k in range(ni):
+            Iswabs = Iswabs.at[..., k].add(w_sb * Iabs_b[k])
+        a_dr = w_sb * sol["albedo_dr"]
+        a_df = w_sb * sol["albedo_df"]
+
+        # ponded surface type (srftyp==2)
+        if apnd is not None:
+            ki_p_ssl, wi_p_ssl = _tune_iops(KI_P_SSL[b], WI_P_SSL[b],
+                                            R_pnd, FP_PND, FM_PND)
+            ki_p_int, wi_p_int = _tune_iops(KI_P_INT[b], WI_P_INT[b],
+                                            R_pnd, FP_PND, FM_PND)
+            dz_p = hp / (ns_l + 1)
+            taus_p = [KW[b] * dz_p for _ in range(ns_l + 1)]
+            w0s_p = [jnp.full_like(aicen, WW[b])
+                     for _ in range(ns_l + 1)]
+            gls_p = [jnp.full_like(aicen, GW[b])
+                     for _ in range(ns_l + 1)]
+            # thin-pond transition to bare-ice optics (:2873-2900)
+            blend = jnp.clip(hp / HP0, 0.0, 1.0)
+            sig_ssl = ki_ssl * wi_ssl + \
+                (ki_p_ssl * wi_p_ssl - ki_ssl * wi_ssl) * blend
+            kext_ssl = sig_ssl + ki_p_ssl * (1.0 - wi_p_ssl)
+            sig_dl = ki_dl * wi_dl * fs_dl + \
+                (ki_p_int * wi_p_int - ki_dl * wi_dl * fs_dl) * blend
+            kext_dl = sig_dl + ki_p_int * (1.0 - wi_p_int)
+            full = hp > HP0
+            tau_pssl = jnp.where(full, ki_p_ssl * dzi_ssl,
+                                 kext_ssl * dzi_ssl)
+            w0_pssl = jnp.where(full, wi_p_ssl, sig_ssl /
+                                jnp.maximum(kext_ssl, c.PUNY))
+            tau_pdl = jnp.where(full, ki_p_int * dzi_dl,
+                                kext_dl * dzi_dl)
+            w0_pdl = jnp.where(full, wi_p_int, sig_dl /
+                               jnp.maximum(kext_dl, c.PUNY))
+            taus_p += [tau_pssl, tau_pdl]
+            w0s_p += [w0_pssl, w0_pdl]
+            gls_p += [jnp.full_like(aicen, GI_P_SSL[b]),
+                      jnp.full_like(aicen, GI_P_INT[b])]
+            for k in range(ni - 1):
+                taus_p.append(ki_p_int * dz_i)
+                w0s_p.append(jnp.full_like(aicen, wi_p_int))
+                gls_p.append(jnp.full_like(aicen, GI_P_INT[b]))
+
+            sol_p = solve_dedd_column(taus_p, w0s_p, gls_p, mu, 0,
+                                      ALBOCN_DR[b], ALBOCN_DF[b])
+            Fp = [sol_p["net_dn_dir"][k] * fdr +
+                  sol_p["net_dn_dif"][k] * fdf for k in range(K + 1)]
+            abs_srf = abs_srf + fp * (Fp[0] - Fp[n_srf_rows])
+            abs_int = abs_int + fp * (Fp[n_srf_rows] - Fp[K])
+            fswthru = fswthru + fp * Fp[K]
+            Iswabs = Iswabs.at[..., 0].add(
+                fp * (Fp[ns_l + 2] - Fp[ns_l + 3]))
+            for k in range(ni - 1):
+                Iswabs = Iswabs.at[..., k + 1].add(
+                    fp * (Fp[ns_l + 3 + k] - Fp[ns_l + 4 + k]))
+            a_dr = a_dr + fp * sol_p["albedo_dr"]
+            a_df = a_df + fp * sol_p["albedo_df"]
+
+        if b == 0:
+            alvdr = alvdr + a_dr
+            alvdf = alvdf + a_df
+        else:
+            alidr = alidr + a_dr * (bsc(w2) if b == 1 else
+                                    1.0 - bsc(w2))
+            alidf = alidf + a_df * (bsc(w2) if b == 1 else
+                                    1.0 - bsc(w2))
 
     def z(x):
         return jnp.where(has, x, 0.0)
 
-    # area-weighted broadband albedos per band group
-    alvdr, alvdf = alb_dr[0], alb_df[0]
-    nir_w = bsc(w2)
-    alidr = alb_dr[1] * nir_w + alb_dr[2] * (1.0 - nir_w)
-    alidf = alb_df[1] * nir_w + alb_df[2] * (1.0 - nir_w)
     return ShortwaveResult(
-        alvdr=jnp.where(has, alvdr, 0.0),
-        alvdf=jnp.where(has, alvdf, 0.0),
-        alidr=jnp.where(has, alidr, 0.0),
-        alidf=jnp.where(has, alidf, 0.0),
+        alvdr=z(alvdr), alvdf=z(alvdf), alidr=z(alidr), alidf=z(alidf),
         fswsfc=z(abs_srf), fswint=z(abs_int), fswthru=z(fswthru),
-        Iswabs=jnp.where(has[..., None], Iswabs, 0.0),
-        Sswabs=jnp.zeros(aicen.shape + (n_snow_layers,), aicen.dtype),
-        albin=jnp.where(has, alvdr, 0.0),
-        albsn=jnp.where(has, alvdf, 0.0))
+        Iswabs=jnp.where(has[..., None], jnp.maximum(Iswabs, 0.0), 0.0),
+        Sswabs=jnp.where(has[..., None], jnp.maximum(Sswabs, 0.0), 0.0),
+        albin=z(alvdr), albsn=z(alvdf))

@@ -3,23 +3,39 @@
 TPU-native re-design of the reference's MPAS <-> column adapter phase
 drivers (`mpas_seaice_column.F`: predynamics :1038, dynamics :1139,
 postdynamics :1208) and the colpkg step routines they call
-(`ice_colpkg.F90`: colpkg_step_therm1/_therm2/_step_ridge): instead of
-an OpenMP loop over cells calling scalar colpkg routines with ~100
+(`ice_colpkg.F90`: colpkg_step_therm1 :1789-2408, colpkg_step_therm2,
+colpkg_step_ridge, colpkg_step_snow :3821, colpkg_ice_strength): instead
+of an OpenMP loop over cells calling scalar colpkg routines with ~100
 array-slice arguments, each phase is one fused vectorized kernel over
 [nCells, nCategories] columns.
+
+Scheme selectors mirror `ice_colpkg_shared.F90:20-150`: `ktherm`
+(0-layer / BL99 / mushy), `shortwave` (ccsm3 / dEdd), `kstrength`
+(Hibler / Rothrock), pond scheme (cesm / lvl / topo), form drag,
+highfreq coupling, snow tracers, aerosols.  Selection happens at trace
+time (Python), exactly as the reference selects schemes at init.
+
+Deviation from the reference phasing: shortwave radiation is computed at
+the START of therm1 from the current forcing (the reference computes it
+in the previous step's post-dynamics radiation phase and rescales in
+prep_radiation, which introduces a one-step albedo lag in standalone
+runs); the post-dynamics phase here runs snow physics and coupling-prep
+aggregation.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from . import constants as c
-from .atmo import atmo_boundary_layer
-from .itd import category_boundaries, cleanup_small_ice, linear_itd_remap
+from .atmo import atmo_boundary_layer, neutral_drag_coeffs
+from .itd import (category_boundaries, cleanup_small_ice,
+                  ice_strength_hibler, ice_strength_rothrock,
+                  linear_itd_remap)
 from .itd_thermo import add_new_ice, lateral_melt
 from .ridging import ridge_ice
 from .shortwave import shortwave_ccsm3
@@ -78,16 +94,38 @@ class ColumnFluxes:
     albedo_ir_dir: Any
     albedo_vis_dif: Any
     albedo_ir_dif: Any
+    fpond: Any                 # freshwater into melt ponds (kg/m^2/s)
+    faero_ocn: Any             # aerosol flux to ocean [*, nAero] or None
+    Cdn_atm: Any               # neutral atm drag (form drag) or None
+    Cdn_ocn: Any               # neutral ocn drag (form drag) or None
+    bgc: Any                   # BGC diagnostics dict or None
+
+
+# Tracer classification: conserved-base groups used by the ITD remap,
+# ridging and cleanup (CICE trcr_depend analog).  Area tracers are
+# conserved as a*T, ice tracers as v*T, snow tracers as vs*T.  Chained
+# weights (e.g. hpnd conserved as a*alvl*apnd*hpnd in the reference's
+# nt_strata machinery) are approximated at first order by the direct
+# base product, which is exact whenever the intermediate tracers shift
+# with the same category fractions.
+AREA_TRACER_NAMES = ("surfaceTemperature", "iceAge", "firstYearIceArea",
+                     "levelIceArea", "pondArea", "pondDepth",
+                     "pondLidThickness", "brineHeight")
+ICE_TRACER_NAMES = ("iceEnthalpy", "iceSalinity", "levelIceVolume",
+                    "iceScatteringAerosol", "iceBodyAerosol",
+                    "bioTracers", "verticalSalinity")
+SNOW_TRACER_NAMES = ("snowEnthalpy", "snowIceMass", "snowLiquidMass",
+                     "snowGrainRadius", "snowScatteringAerosol",
+                     "snowBodyAerosol")
 
 
 def _split_tracers(tracers: Dict[str, Any]):
     aicen = tracers["iceAreaCategory"]
     vicen = tracers["iceVolumeCategory"]
     vsnon = tracers["snowVolumeCategory"]
-    at = {"surfaceTemperature": tracers["surfaceTemperature"]}
-    it_ = {"iceEnthalpy": tracers["iceEnthalpy"],
-           "iceSalinity": tracers["iceSalinity"]}
-    st = {"snowEnthalpy": tracers["snowEnthalpy"]}
+    at = {k: tracers[k] for k in AREA_TRACER_NAMES if k in tracers}
+    it_ = {k: tracers[k] for k in ICE_TRACER_NAMES if k in tracers}
+    st = {k: tracers[k] for k in SNOW_TRACER_NAMES if k in tracers}
     return aicen, vicen, vsnon, at, it_, st
 
 
@@ -96,22 +134,48 @@ def _merge_tracers(tracers, aicen, vicen, vsnon, at, it_, st):
     out["iceAreaCategory"] = aicen
     out["iceVolumeCategory"] = vicen
     out["snowVolumeCategory"] = vsnon
-    out["surfaceTemperature"] = at["surfaceTemperature"]
-    out["iceEnthalpy"] = it_["iceEnthalpy"]
-    out["iceSalinity"] = it_["iceSalinity"]
-    out["snowEnthalpy"] = st["snowEnthalpy"]
+    for d in (at, it_, st):
+        for k, v in d.items():
+            out[k] = v
     return out
 
 
 class ColumnPhysics:
     """Owns static column configuration (category bounds, salinity
-    profile) and provides the phase kernels."""
+    profile, scheme selectors) and provides the phase kernels."""
 
     def __init__(self, n_categories: int, n_ice_layers: int,
                  n_snow_layers: int = 1, kcatbound: int = 0,
                  kitd: int = 1, krdg_partic: int = 1,
                  krdg_redist: int = 1, mu_rdg: float = 4.0,
-                 natmiter: int = 5, shortwave: str = "ccsm3"):
+                 natmiter: int = 5, shortwave: str = "ccsm3",
+                 ktherm: int = 1, kstrength: int = 1,
+                 pond_scheme: str = "none",
+                 use_level_ice: Optional[bool] = None,
+                 use_ice_age: bool = False,
+                 use_first_year_ice: bool = False,
+                 use_snow_tracers: bool = False,
+                 n_aerosols: int = 0,
+                 use_form_drag: bool = False,
+                 highfreq: bool = False,
+                 tfrz_option: str = "minus1p8",
+                 rfracmin: float = 0.15, rfracmax: float = 0.85,
+                 pndaspect: float = 0.8, hi_min_pond: float = 0.01,
+                 dpscale: float = 1.0e-3, frzpnd: str = "hlid",
+                 use_snicar: bool = False,
+                 use_brine_height: bool = False,
+                 use_biogeochemistry: bool = False,
+                 n_algae: int = 1, n_bio_layers: int = 7,
+                 solve_zsalinity: bool = False,
+                 zbgc_params=None):
+        if ktherm not in (0, 1, 2):
+            raise ValueError(f"unsupported ktherm={ktherm}")
+        if kstrength not in (0, 1):
+            raise ValueError(f"unsupported kstrength={kstrength}")
+        if pond_scheme not in ("none", "cesm", "lvl", "topo"):
+            raise ValueError(f"unsupported pond scheme {pond_scheme!r}")
+        if shortwave not in ("ccsm3", "dEdd"):
+            raise ValueError(f"unsupported shortwave {shortwave!r}")
         self.ncat = n_categories
         self.ni = n_ice_layers
         self.ns = n_snow_layers
@@ -122,54 +186,154 @@ class ColumnPhysics:
         self.mu_rdg = mu_rdg
         self.natmiter = natmiter
         self.shortwave = shortwave
+        self.ktherm = ktherm
+        self.kstrength = kstrength
+        self.pond_scheme = pond_scheme
+        self.use_level_ice = (pond_scheme == "lvl"
+                              if use_level_ice is None else use_level_ice)
+        if pond_scheme == "lvl" and not self.use_level_ice:
+            raise ValueError("level-ice ponds require level ice tracers")
+        self.use_ice_age = use_ice_age
+        self.use_first_year_ice = use_first_year_ice
+        self.use_snow_tracers = use_snow_tracers
+        self.n_aerosols = n_aerosols
+        self.use_form_drag = use_form_drag
+        self.highfreq = highfreq
+        self.tfrz_option = tfrz_option
+        self.rfracmin = rfracmin
+        self.rfracmax = rfracmax
+        self.pndaspect = pndaspect
+        self.hi_min_pond = hi_min_pond
+        self.dpscale = dpscale
+        self.frzpnd = frzpnd
+        self.use_snicar = use_snicar
+        self.use_brine_height = use_brine_height or use_biogeochemistry \
+            or solve_zsalinity
+        self.use_biogeochemistry = use_biogeochemistry
+        self.n_bio_layers = n_bio_layers
+        self.solve_zsalinity = solve_zsalinity
+        if use_biogeochemistry or zbgc_params is not None:
+            from .zbgc import ZbgcParams
+            self.zbgc_params = zbgc_params or ZbgcParams(n_algae=n_algae)
+        else:
+            self.zbgc_params = None
+
+    # -- ice strength (reference colpkg_ice_strength / ice_mechred) ------
+
+    def ice_strength(self, tracers: Dict[str, Any]):
+        """Cell ice strength for the dynamics pressure (reference
+        colpkg_ice_strength; kstrength=0 Hibler 1979, 1 Rothrock 1975)."""
+        aicen = tracers["iceAreaCategory"]
+        vicen = tracers["iceVolumeCategory"]
+        aice = aicen.sum(-1)
+        if self.kstrength == 1:
+            aice0 = jnp.maximum(1.0 - aice, 0.0)
+            return ice_strength_rothrock(aicen, vicen, aice, aice0,
+                                         self.hin_max)
+        return ice_strength_hibler(aice, vicen.sum(-1))
+
+    # -- radiation (reference colpkg_step_radiation / prep_radiation) ----
+
+    def _step_radiation(self, aicen, vicen, vsnon, tsfc, coszen,
+                        swvdr, swvdf, swidr, swidf, tracers):
+        if self.shortwave == "dEdd":
+            from .dedd import shortwave_dedd
+            kwargs = {}
+            if self.pond_scheme != "none":
+                apnd = tracers.get("pondArea")
+                hpnd = tracers.get("pondDepth")
+                if apnd is not None:
+                    fpond = apnd
+                    if self.pond_scheme == "lvl" and \
+                            "levelIceArea" in tracers:
+                        fpond = apnd * tracers["levelIceArea"]
+                    kwargs = dict(apnd=fpond, hpnd=hpnd)
+            if self.use_snow_tracers and "snowGrainRadius" in tracers:
+                kwargs["rsnw"] = tracers["snowGrainRadius"]
+            if self.use_snicar:
+                from .snicar import shortwave_snicar
+                return shortwave_snicar(
+                    aicen, vicen, vsnon, tsfc, coszen,
+                    swvdr, swvdf, swidr, swidf, self.ni, self.ns,
+                    **kwargs)
+            return shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
+                                  swvdr, swvdf, swidr, swidf,
+                                  self.ni, self.ns, **kwargs)
+        return shortwave_ccsm3(aicen, vicen, vsnon, tsfc,
+                               swvdr, swvdf, swidr, swidf,
+                               self.ni, self.ns)
 
     # -- therm1 + therm2 (predynamics; reference column.F:1038-1137) -----
 
     def step_thermodynamics(self, dt, tracers: Dict[str, Any],
                             atm: AtmosForcing, ocn: OceanForcing,
-                            strocnx=None, strocny=None, coszen=None):
+                            strocnx=None, strocny=None, coszen=None,
+                            uvel=None, vvel=None, day_of_year=None,
+                            lat=None, faero_atm=None):
         """Vertical + ITD thermodynamics for one coupling step.
 
-        coszen: cosine solar zenith (cell field), used by the dEdd
-        shortwave — compute with column.orbital.compute_coszen; if
-        absent, a rough estimate from the incident flux.
-        Returns (new tracers, ColumnFluxes)."""
+        coszen: cosine solar zenith (cell field) for the dEdd shortwave
+        (compute with column.orbital.compute_coszen).  uvel/vvel: cell
+        ice velocity (highfreq coupling).  day_of_year/lat: for the
+        first-year-ice tracer reset.  faero_atm [*B, nAero]: aerosol
+        deposition.  Returns (new tracers, ColumnFluxes)."""
         aicen, vicen, vsnon, at, it_, st = _split_tracers(tracers)
         tsfc = at["surfaceTemperature"]
         qin = it_["iceEnthalpy"]
         sin = it_["iceSalinity"]
         qsn = st["snowEnthalpy"]
         ncat = self.ncat
+        ktherm = self.ktherm
 
         def pc(x):   # broadcast cell field over categories
             return x[..., None] * jnp.ones_like(aicen)
 
         wind = jnp.sqrt(atm.u_air ** 2 + atm.v_air ** 2)
 
-        # shortwave partition (reference column_prep/step_radiation;
-        # scheme selected by config_albedo_type 'ccsm3' | 'dEdd')
-        if self.shortwave == "dEdd":
-            from .dedd import shortwave_dedd
-            if coszen is None:
-                sw_tot = (atm.sw_vis_dir + atm.sw_vis_dif +
-                          atm.sw_ir_dir + atm.sw_ir_dif)
-                coszen = jnp.clip(sw_tot / 800.0, 0.05, 1.0)
-            sw = shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
-                                atm.sw_vis_dir, atm.sw_vis_dif,
-                                atm.sw_ir_dir, atm.sw_ir_dif,
-                                self.ni, self.ns)
-        else:
-            sw = shortwave_ccsm3(aicen, vicen, vsnon, tsfc,
-                                 atm.sw_vis_dir, atm.sw_vis_dif,
-                                 atm.sw_ir_dir, atm.sw_ir_dif,
-                                 self.ni, self.ns)
+        # shortwave partition (reference column_prep/step_radiation)
+        if self.shortwave == "dEdd" and coszen is None:
+            raise ValueError(
+                "dEdd shortwave requires coszen (compute real zenith "
+                "angles with column.orbital.compute_coszen)")
+        sw = self._step_radiation(aicen, vicen, vsnon, tsfc, coszen,
+                                  atm.sw_vis_dir, atm.sw_vis_dif,
+                                  atm.sw_ir_dir, atm.sw_ir_dif, tracers)
 
-        # atmosphere boundary layer per category
+        # form drag from the pack geometry (reference :2102, Tsamados)
+        Cdn_atm = Cdn_ocn = None
+        if self.use_form_drag:
+            fd = neutral_drag_coeffs(
+                at.get("pondArea", jnp.zeros_like(aicen)),
+                at.get("pondDepth", jnp.zeros_like(aicen)),
+                at.get("levelIceArea", jnp.ones_like(aicen)),
+                aicen, vicen, vsnon,
+                vlvl=it_.get("levelIceVolume"),
+                use_ponds=self.pond_scheme != "none")
+            Cdn_atm, Cdn_ocn = fd.Cdn_atm, fd.Cdn_ocn
+
+        # atmosphere boundary layer per category (reference :2150)
         ab = atmo_boundary_layer(
             tsfc, pc(atm.air_temperature), pc(atm.u_air), pc(atm.v_air),
             pc(wind), pc(atm.air_level_height),
             pc(atm.specific_humidity), pc(atm.air_density),
-            natmiter=self.natmiter)
+            natmiter=self.natmiter,
+            highfreq=self.highfreq,
+            uvel=pc(uvel) if uvel is not None else None,
+            vvel=pc(vvel) if vvel is not None else None,
+            Cdn_atm=pc(Cdn_atm) if Cdn_atm is not None else None)
+
+        # age / first-year tracers (reference :2186-2189)
+        if self.use_ice_age and "iceAge" in at:
+            from .ponds import increment_age
+            at["iceAge"] = increment_age(dt, at["iceAge"], vicen)
+        if self.use_first_year_ice and "firstYearIceArea" in at and \
+                day_of_year is not None and lat is not None:
+            fy = at["firstYearIceArea"]
+            north = lat >= 0.0
+            reset = jnp.where(north[..., None],
+                              day_of_year == 265, day_of_year == 81)
+            at["firstYearIceArea"] = jnp.clip(
+                jnp.where(reset, 0.0, fy), 0.0, 1.0)
 
         # ocean-ice bottom flux + lateral melt fraction
         aice = aicen.sum(-1)
@@ -183,33 +347,162 @@ class ColumnPhysics:
         Tbot, fbot_cell, rside = frzmlt_bottom_lateral(
             dt, aice, ocn.frzmlt, ocn.sst, ocn.freezing_temperature,
             strocnx, strocny, etot)
-        # partition fbot over categories by area fraction
-        fbot = jnp.where(aicen > c.PUNY,
-                         fbot_cell[..., None] * aicen /
-                         jnp.maximum(aice[..., None], c.PUNY), 0.0)
+        # the same unscaled per-area fbot applies to every category
+        # (reference colpkg_step_therm1 -> thermo_vertical; the frzmlt
+        # limiter above already accounts for the total extraction)
+        fbot = jnp.where(aicen > c.PUNY, fbot_cell[..., None], 0.0)
 
         aicen_init = aicen
         vicen_init = vicen
 
-        # vertical thermodynamics (therm1)
+        # pond inputs to the vertical thermo (mushy flushing)
+        apnd = at.get("pondArea")
+        hpnd = at.get("pondDepth")
+        apond_cat = None
+        if apnd is not None:
+            apond_cat = apnd
+            if self.pond_scheme == "lvl" and "levelIceArea" in at:
+                apond_cat = apnd * at["levelIceArea"]
+
+        smice = st.get("snowIceMass")
+        smliq = st.get("snowLiquidMass")
+        rsnw = st.get("snowGrainRadius")
+
+        # vertical thermodynamics (therm1) with ktherm dispatch
         tv = thermo_vertical(
             dt, aicen, vicen, vsnon, tsfc, qin, qsn,
-            jnp.broadcast_to(jnp.asarray(self.salin, qin.dtype),
-                             qin.shape),
+            (sin if ktherm == 2 else
+             jnp.broadcast_to(jnp.asarray(self.salin, qin.dtype),
+                              qin.shape)),
             flw=pc(atm.longwave_down), potT=pc(atm.air_temperature),
             Qa=pc(atm.specific_humidity), rhoa=pc(atm.air_density),
             fsnow=pc(atm.snow_rate), fbot=fbot,
             Tbot=pc(Tbot),
             fswsfc=sw.fswsfc, fswint=sw.fswint,
             Sswabs=sw.Sswabs, Iswabs=sw.Iswabs,
-            shcoef=ab.shcoef, lhcoef=ab.lhcoef)
+            shcoef=ab.shcoef, lhcoef=ab.lhcoef,
+            ktherm=ktherm,
+            sss=pc(ocn.sss) if ktherm == 2 else None,
+            frain=pc(atm.rain_rate),
+            apond=apond_cat, hpond=hpnd,
+            smice=smice, smliq=smliq, rsnw=rsnw)
 
         aicen2 = aicen
         vicen2 = tv.hin * aicen
         vsnon2 = tv.hsn * aicen
-        at2 = {"surfaceTemperature": tv.Tsf}
-        it2 = {"iceEnthalpy": tv.zqin, "iceSalinity": sin}
-        st2 = {"snowEnthalpy": tv.zqsn}
+        at2 = dict(at)
+        at2["surfaceTemperature"] = tv.Tsf
+        it2 = dict(it_)
+        it2["iceEnthalpy"] = tv.zqin
+        it2["iceSalinity"] = tv.zSin if ktherm == 2 else sin
+        st2 = dict(st)
+        st2["snowEnthalpy"] = tv.zqsn
+        if tv.smice is not None:
+            st2["snowIceMass"] = tv.smice
+            st2["snowLiquidMass"] = tv.smliq
+        if tv.rsnw is not None:
+            st2["snowGrainRadius"] = tv.rsnw
+        if tv.hpond is not None and hpnd is not None:
+            at2["pondDepth"] = tv.hpond
+        meltsliq = tv.meltsliq
+
+        # aerosol pools (reference update_aerosol call :2258)
+        faero_ocn = None
+        if self.n_aerosols and "snowScatteringAerosol" in st2:
+            from .aerosol import update_aerosol
+            aero = jnp.stack(
+                [st2["snowScatteringAerosol"], st2["snowBodyAerosol"],
+                 it2["iceScatteringAerosol"], it2["iceBodyAerosol"]],
+                axis=-1)
+            if faero_atm is None:
+                faero_atm = jnp.zeros(
+                    aice.shape + (self.n_aerosols,), aicen.dtype)
+            ar = update_aerosol(
+                dt, aero, aicen2, vicen2, vsnon2,
+                tv.melts, tv.meltt, tv.meltb, tv.congel, tv.snoice,
+                tv.hsn_new, faero_atm)
+            st2["snowScatteringAerosol"] = ar.aero[..., 0]
+            st2["snowBodyAerosol"] = ar.aero[..., 1]
+            it2["iceScatteringAerosol"] = ar.aero[..., 2]
+            it2["iceBodyAerosol"] = ar.aero[..., 3]
+            faero_ocn = ar.flux_ocn
+
+        # snow meltwater drainage (reference drain_snow :2279)
+        if self.use_snow_tracers and "snowLiquidMass" in st2:
+            from .snow import drain_snow
+            smliq_d, meltsliq_d = drain_snow(
+                dt, vsnon2, aicen2, st2["snowIceMass"],
+                st2["snowLiquidMass"])
+            st2["snowLiquidMass"] = smliq_d
+            meltsliq = meltsliq + meltsliq_d
+
+        # melt ponds (reference :2292-2352, per-category part)
+        fpond = jnp.zeros_like(aice)
+        if self.pond_scheme != "none" and apnd is not None:
+            rfrac = self.rfracmin + \
+                (self.rfracmax - self.rfracmin) * aicen2
+            if self.pond_scheme == "cesm":
+                from .ponds import compute_ponds_cesm
+                apnd_n, hpnd_n = compute_ponds_cesm(
+                    dt, rfrac, tv.meltt, tv.melts, pc(atm.rain_rate),
+                    aicen2, vicen2, vsnon2, at2["surfaceTemperature"],
+                    at2["pondArea"], at2["pondDepth"],
+                    pndaspect=self.pndaspect)
+                at2["pondArea"], at2["pondDepth"] = apnd_n, hpnd_n
+            elif self.pond_scheme == "lvl":
+                from .ponds import compute_ponds_lvl
+                apnd_n, hpnd_n, ipnd_n, _ = compute_ponds_lvl(
+                    dt, rfrac, tv.meltt, tv.melts, pc(atm.rain_rate),
+                    pc(atm.air_temperature), tv.fsurfn, tv.dsnow,
+                    aicen2, vicen2, vsnon2, it2["iceEnthalpy"],
+                    it2["iceSalinity"], at2["surfaceTemperature"],
+                    at2["levelIceArea"], at2["pondArea"],
+                    at2["pondDepth"],
+                    at2.get("pondLidThickness",
+                            jnp.zeros_like(aicen2)),
+                    pndaspect=self.pndaspect,
+                    hi_min=self.hi_min_pond, dpscale=self.dpscale,
+                    frzpnd=self.frzpnd, ktherm=ktherm)
+                at2["pondArea"], at2["pondDepth"] = apnd_n, hpnd_n
+                if "pondLidThickness" in at2:
+                    at2["pondLidThickness"] = ipnd_n
+            else:   # topo: collect water per category, level cell-wise
+                pond = rfrac / c.RHOFRESH * (
+                    tv.meltt * c.RHOI + tv.melts * c.RHOS +
+                    pc(atm.rain_rate) * dt)
+                apnd_t = at2["pondArea"]
+                hpnd_t = at2["pondDepth"]
+                new_pond = apnd_t < c.PUNY
+                apnd_t = jnp.where(new_pond & (pond > 0), 1.0, apnd_t)
+                hpnd_t = jnp.where(new_pond, 0.0, hpnd_t)
+                hpnd_t = jnp.where(
+                    apnd_t > c.PUNY,
+                    (pond + hpnd_t * apnd_t) /
+                    jnp.maximum(apnd_t, c.PUNY), hpnd_t)
+                fpond = fpond + (pond * aicen2).sum(-1)
+                from .ponds import compute_ponds_topo
+                fsurf_cell = (tv.fsurfn * aicen2).sum(-1)
+                meltt_cell = (tv.meltt * aicen2).sum(-1)
+                apnd_t, hpnd_t, ipnd_t, dfpond, _ = compute_ponds_topo(
+                    dt, aicen2, vicen2, vsnon2, meltt_cell, fsurf_cell,
+                    at2["surfaceTemperature"], it2["iceEnthalpy"],
+                    it2["iceSalinity"], apnd_t, hpnd_t,
+                    at2.get("pondLidThickness",
+                            jnp.zeros_like(aicen2)),
+                    ktherm=ktherm)
+                at2["pondArea"], at2["pondDepth"] = apnd_t, hpnd_t
+                if "pondLidThickness" in at2:
+                    at2["pondLidThickness"] = ipnd_t
+                fpond = fpond + dfpond
+
+        # brine height + vertical salinity + biogeochemistry
+        # (reference column_biogeochemistry, column.F:3570; runs after
+        # vertical thermo, before ITD thermo :1038-1137)
+        bgc_diags = {}
+        if self.use_brine_height and "brineHeight" in at2:
+            (at2, it2, bgc_diags) = self.step_biogeochemistry(
+                dt, aicen2, vicen2, vsnon2, aicen_init, vicen_init,
+                at2, it2, tv, sw.fswthru, pc(Tbot), ocn)
 
         # aggregate per-category atmosphere fluxes (area-weighted)
         def agg(x):
@@ -228,7 +521,9 @@ class ColumnPhysics:
         # frazil formation (therm2; reference column.F:2086-2460)
         ni_res = add_new_ice(dt, self.hin_max, aicen2, vicen2, at2, it2,
                              ocn.frzmlt, ocn.freezing_temperature,
-                             self.salin)
+                             self.salin,
+                             dilute_ponds=self.pond_scheme in
+                             ("cesm", "topo"))
         aicen2, vicen2 = ni_res.aicen, ni_res.vicen
         at2, it2 = ni_res.area_tracers, ni_res.ice_tracers
         fresh = fresh + ni_res.dfresh
@@ -262,10 +557,107 @@ class ColumnPhysics:
             snoice=agg(tv.snoice), meltt=agg(tv.meltt),
             meltb=agg(tv.meltb), melts=agg(tv.melts), meltl=lm.meltl,
             albedo_vis_dir=agg(sw.alvdr), albedo_ir_dir=agg(sw.alidr),
-            albedo_vis_dif=agg(sw.alvdf), albedo_ir_dif=agg(sw.alidf))
+            albedo_vis_dif=agg(sw.alvdf), albedo_ir_dif=agg(sw.alidf),
+            fpond=fpond / dt, faero_ocn=faero_ocn,
+            Cdn_atm=Cdn_atm, Cdn_ocn=Cdn_ocn,
+            bgc=bgc_diags if bgc_diags else None)
 
         return _merge_tracers(tracers, aicen2, vicen2, vsnon2, at2, it2,
                               st2), fluxes
+
+    # -- biogeochemistry (reference colpkg_biogeochemistry,
+    #    ice_colpkg.F90:5540-5786) --------------------------------------
+
+    def step_biogeochemistry(self, dt, aicen, vicen, vsnon,
+                             aicen_init, vicen_init, at2, it2, tv,
+                             fswthru, Tbot, ocn: OceanForcing):
+        """Brine-height dynamics + optional vertical salinity and
+        z-tracer biogeochemistry, per category.  Mirrors the reference
+        per-category flow: preflushing_changes -> compute_microS_mushy
+        -> update_hbrine -> zsalinity -> zbio."""
+        from .brine import (compute_micro_s_mushy, preflushing_changes,
+                            update_hbrine)
+        nbl = self.n_bio_layers
+        puny = c.PUNY
+        diags = {}
+
+        def pc(x):
+            return x[..., None] * jnp.ones_like(aicen)
+
+        fbri = at2["brineHeight"]
+        # first ice initializes fbri = 1 (reference :5570)
+        fbri = jnp.where(fbri > puny, fbri, 1.0)
+        hice_old = jnp.where(aicen_init > puny,
+                             vicen_init / jnp.maximum(aicen_init, puny),
+                             0.0)
+        pf = preflushing_changes(
+            aicen, vicen, vsnon, tv.meltb, tv.meltt, tv.congel,
+            tv.snoice, hice_old, fbri)
+
+        # salinity profile feeding the brine microstructure
+        if self.solve_zsalinity and "verticalSalinity" in it2:
+            from .brine import remap_profile_to_bgrid
+            bsal = it2["verticalSalinity"]
+            bpts = np.array([(k - 0.5) / nbl for k in range(1, nbl + 1)])
+            cpts = np.array([(k - 0.5) / self.ni
+                             for k in range(1, self.ni + 1)])
+            zSin_b = remap_profile_to_bgrid(bsal, bpts, cpts, 0.1)
+        else:
+            zSin_b = it2["iceSalinity"]
+        ms = compute_micro_s_mushy(tv.zqin, zSin_b, pc(ocn.sss),
+                                   pc(ocn.sst), pf.hbr_old, nbl)
+
+        aice0 = jnp.maximum(1.0 - aicen.sum(-1), 0.0)[..., None] * \
+            jnp.ones_like(aicen)
+        hb = update_hbrine(dt, tv.meltb, tv.meltt, tv.melts,
+                           pf.hin, pf.hsn, pf.hin_old, pf.hbr_old,
+                           tv.snoice, pf.dhbr_bot, ms.kperm,
+                           ms.bphi_min, aice0)
+        has = aicen > puny
+        at2 = dict(at2)
+        at2["brineHeight"] = jnp.where(has, hb.fbri, 1.0)
+        diags["hbrine"] = (hb.hbr * aicen).sum(-1)
+        diags["darcy_v"] = (hb.darcy_v * aicen).sum(-1)
+
+        it2 = dict(it2)
+        if self.solve_zsalinity and "verticalSalinity" in it2:
+            from .zsalinity import solve_zsalinity
+            zs = solve_zsalinity(
+                dt, it2["verticalSalinity"], ms.iphin, ms.iDin,
+                hb.darcy_v, hb.hbr, pf.hbr_old, pf.dhbr_bot,
+                hb.dhS_top, pc(ocn.sss),
+                ms.brine_sal[..., -1])
+            from .brine import MIN_SALIN
+            it2["verticalSalinity"] = jnp.where(
+                has[..., None], zs.bSin, MIN_SALIN)
+            diags["fzsal"] = (zs.fzsal * aicen).sum(-1)
+            diags["zsal_tot"] = (zs.zsal_tot * aicen).sum(-1)
+
+        if self.use_biogeochemistry and "bioTracers" in it2:
+            from .zbgc import zbgc_transport_react
+            p = self.zbgc_params
+            K = nbl + 1
+            bio = it2["bioTracers"]
+            shape = bio.shape[:-1] + (p.n_bio, K)
+            Cb = bio.reshape(shape)
+            ocean_bio = p.ocean_concentrations(bio.dtype)
+            # first ice seeds from the ocean (initbio_frac)
+            fresh_ice = (~(bio.sum(-1) > puny)) & has
+            Cb = jnp.where(fresh_ice[..., None, None],
+                           p.initbio_frac * ocean_bio[:, None] *
+                           jnp.ones_like(Cb), Cb)
+            zr = zbgc_transport_react(
+                dt, Cb, ms.iphin, ms.iDin, hb.darcy_v, hb.hbr,
+                pf.hbr_old, pf.dhbr_bot, fswthru, Tbot, ocean_bio, p)
+            it2["bioTracers"] = jnp.where(
+                has[..., None], zr.tracers.reshape(bio.shape), 0.0)
+            diags["flux_bio"] = (zr.flux_bio * aicen[..., None]).sum(-2)
+            diags["pp_net"] = (zr.pp_net * aicen).sum(-1)
+            diags["chla"] = (zr.chla * aicen).sum(-1)
+            diags["up_NO"] = (zr.up_NO * aicen).sum(-1)
+            diags["up_NH"] = (zr.up_NH * aicen).sum(-1)
+
+        return at2, it2, diags
 
     # -- ridging (dynamics phase; reference column.F:3283-3560) ----------
 
@@ -293,6 +685,93 @@ class ColumnPhysics:
                  "ridge_fresh": res.msnow_mlt / dt,
                  "ridge_fhocn": res.esnow_mlt / dt}
         return out, extra
+
+    # -- post-dynamics (reference column.F:1208: snow -> radiation ->
+    #    coupling prep) ---------------------------------------------------
+
+    def step_snow(self, dt, tracers: Dict[str, Any], wind, snow_rate):
+        """Advanced snow physics (reference colpkg_step_snow,
+        ice_colpkg.F90:3821): effective density, wind loss of new
+        snowfall to leads, grain metamorphism.  No-op unless snow
+        tracers are enabled."""
+        if not self.use_snow_tracers or "snowGrainRadius" not in tracers:
+            return tracers, {}
+        from .snow import (snow_effective_density, update_snow_radius,
+                           wind_compaction, wind_snow_loss)
+        from .thermo_shared import ice_temperature_from_enthalpy
+        aicen = tracers["iceAreaCategory"]
+        vicen = tracers["iceVolumeCategory"]
+        vsnon = tracers["snowVolumeCategory"]
+        smice = tracers["snowIceMass"]
+        smliq = tracers["snowLiquidMass"]
+        rsnw = tracers["snowGrainRadius"]
+        zqsn = tracers["snowEnthalpy"]
+        tsfc = tracers["surfaceTemperature"]
+        qin1 = tracers["iceEnthalpy"][..., 0]
+        sin1 = tracers["iceSalinity"][..., 0]
+        zTin1 = ice_temperature_from_enthalpy(
+            qin1, -sin1 * c.DEPRESST)
+        rsnw_n, smice_n, smliq_n = update_snow_radius(
+            dt, rsnw, aicen, vicen, vsnon, zqsn, tsfc, zTin1,
+            smice, smliq)
+        out = dict(tracers)
+        out["snowGrainRadius"] = rsnw_n
+        out["snowIceMass"] = smice_n
+        out["snowLiquidMass"] = smliq_n
+        rhos_eff = snow_effective_density(smice_n, smliq_n)
+        rhos_cmp = wind_compaction(dt, wind[..., None, None] *
+                                   jnp.ones_like(rhos_eff), rhos_eff)
+        _, fsloss = wind_snow_loss(wind, snow_rate)
+        diags = {"rhos_eff": rhos_eff.mean(-1), "rhos_cmp":
+                 rhos_cmp.mean(-1), "fsloss": fsloss}
+        return out, diags
+
+    def aggregate(self, tracers: Dict[str, Any]) -> Dict[str, Any]:
+        """Cell-mean state for the coupler/diagnostics (reference
+        colpkg_aggregate, called from seaice_column_coupling_prep,
+        mpas_seaice_column.F:4391-4508)."""
+        aicen, vicen, vsnon, at, it_, st = _split_tracers(tracers)
+        aice = aicen.sum(-1)
+        safe = jnp.maximum(aice, c.PUNY)
+        out = {
+            "iceAreaCell": aice,
+            "iceVolumeCell": vicen.sum(-1),
+            "snowVolumeCell": vsnon.sum(-1),
+            "openWaterArea": jnp.maximum(1.0 - aice, 0.0),
+        }
+        out["surfaceTemperatureCell"] = jnp.where(
+            aice > c.PUNY,
+            (at["surfaceTemperature"] * aicen).sum(-1) / safe, 0.0)
+        for name, key in (("iceAge", "iceAgeCell"),
+                          ("firstYearIceArea", "firstYearIceAreaCell"),
+                          ("levelIceArea", "levelIceAreaCell"),
+                          ("pondArea", "pondAreaCell")):
+            if name in at:
+                out[key] = (at[name] * aicen).sum(-1)
+        if "pondDepth" in at and "pondArea" in at:
+            pa = (at["pondArea"] * aicen).sum(-1)
+            out["pondDepthCell"] = jnp.where(
+                pa > c.PUNY,
+                (at["pondDepth"] * at["pondArea"] * aicen).sum(-1) /
+                jnp.maximum(pa, c.PUNY), 0.0)
+        return out
+
+    def step_post_dynamics(self, dt, tracers: Dict[str, Any],
+                           wind=None, snow_rate=None):
+        """Post-dynamics phase (reference
+        seaice_column_postdynamics_time_integration, column.F:1208):
+        snow physics then coupling-prep aggregation.  Radiation for the
+        next interval is folded into the next therm1 (see module
+        docstring)."""
+        diags = {}
+        if wind is not None:
+            tracers, sd = self.step_snow(dt, tracers, wind,
+                                         snow_rate if snow_rate
+                                         is not None else
+                                         jnp.zeros_like(wind))
+            diags.update(sd)
+        diags.update(self.aggregate(tracers))
+        return tracers, diags
 
 
 def slab_ocean_frzmlt(sst, Tf, mixed_layer_depth, dt):

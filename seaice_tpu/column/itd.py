@@ -356,30 +356,33 @@ def ice_strength_hibler(aice, vice):
 
 
 def ice_strength_rothrock(aicen, vicen, aice, aice0,
-                          hin_max: np.ndarray, Cf: float = 17.0):
+                          hin_max: np.ndarray, Cf: float = 17.0,
+                          krdg_partic: int = 1, krdg_redist: int = 1,
+                          mu_rdg: float = 4.0):
     """Energetics-based strength (Rothrock 1975; reference
-    ice_mechred.F90 kstrength=1): requires the ridging participation /
-    redistribution functions; see ridging.py."""
-    from .ridging import asum_and_participation, ridge_shift_coeffs
+    colpkg_ice_strength, ice_colpkg.F90:3548-3598): potential-energy
+    change of the ridging distribution, strength =
+    Cf*Cp*sum_n apartic(n)*(-hi^2 + h2rdg/krdg) / aksum."""
+    from .ridging import ridge_shift_coeffs
     Cp = 0.5 * c.GRAVIT * (c.RHOW - c.RHOI) * c.RHOI / c.RHOW
-    apartic, hrmin, hrexp, krdg = ridge_shift_coeffs(
-        aicen, vicen, aice0, hin_max)
+    apartic, hrmin, hrexp, krdg, aksum = ridge_shift_coeffs(
+        aicen, vicen, aice0, hin_max, krdg_partic, krdg_redist, mu_rdg)
     ncat = aicen.shape[-1]
     strength = jnp.zeros_like(aice)
     for n in range(ncat):
         has = aicen[..., n] > c.PUNY
         hi = jnp.where(has, vicen[..., n] /
                        jnp.maximum(aicen[..., n], c.PUNY), 0.0)
-        h2rdg = (2.0 / 3.0) * hrexp[..., n] * (
-            hrmin[..., n] ** 2 +
-            2.0 * hrmin[..., n] * hrexp[..., n] +
-            2.0 * hrexp[..., n] ** 2) / jnp.maximum(
-                hrmin[..., n] + hrexp[..., n], c.PUNY)
-        # exponential redistribution mean-square thickness (Lipscomb 2007)
-        h2rdg = hrmin[..., n] ** 2 + 2.0 * hrmin[..., n] * \
-            hrexp[..., n] + 2.0 * hrexp[..., n] ** 2
+        if krdg_redist == 0:    # Hibler 1980: hrexp slot holds hrmax
+            hrmax = hrexp[..., n]
+            h2rdg = (hrmax ** 3 - hrmin[..., n] ** 3) / \
+                (3.0 * jnp.maximum(hrmax - hrmin[..., n], c.PUNY))
+        else:                   # exponential (Lipscomb et al. 2007)
+            h2rdg = hrmin[..., n] ** 2 + 2.0 * hrmin[..., n] * \
+                hrexp[..., n] + 2.0 * hrexp[..., n] ** 2
         strength = strength + jnp.where(
-            has & (apartic[..., n] > 0.0),
-            apartic[..., n] * (-hi ** 2 + h2rdg / jnp.maximum(
+            has & (apartic[..., n + 1] > 0.0),
+            apartic[..., n + 1] * (-hi ** 2 + h2rdg / jnp.maximum(
                 krdg[..., n], c.PUNY)), 0.0)
-    return Cp * Cf * jnp.maximum(strength, 0.0)
+    return Cp * Cf * jnp.maximum(strength, 0.0) / \
+        jnp.maximum(aksum, c.PUNY)

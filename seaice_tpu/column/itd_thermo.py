@@ -26,9 +26,16 @@ class NewIceResult(NamedTuple):
 def add_new_ice(dt, hin_max: np.ndarray, aicen, vicen,
                 area_tracers: Dict[str, jnp.ndarray],
                 ice_tracers: Dict[str, jnp.ndarray],
-                frzmlt, Tf, salin_profile: np.ndarray) -> NewIceResult:
+                frzmlt, Tf, salin_profile: np.ndarray,
+                dilute_ponds: bool = False) -> NewIceResult:
     """Frazil ice formation in open water (reference add_new_ice,
-    BL99 branch). salin_profile: [nIceLayers] fixed salinity profile."""
+    BL99 branch). salin_profile: [nIceLayers] fixed salinity profile.
+
+    Tracer updates for new ice follow the reference: new ice is level
+    (levelIceArea/Volume mix toward 1), first-year (firstYearIceArea
+    toward 1), age 0 (iceAge diluted); pond tracers are diluted when
+    they ride directly on the ice area (cesm/topo schemes,
+    dilute_ponds=True) and untouched for level-ice ponds."""
     ncat = aicen.shape[-1]
     ni = len(salin_profile)
     puny = c.PUNY
@@ -86,6 +93,11 @@ def add_new_ice(dt, hin_max: np.ndarray, aicen, vicen,
                 / jnp.maximum(vtmp[..., None], puny)
             new_it["iceSalinity"] = jnp.where(vtmp[..., None] > 0.0,
                                               mixed, s)
+        if "levelIceVolume" in new_it:
+            # new frazil volume is all level ice
+            vl = new_it["levelIceVolume"]
+            mixed = (vl * vicen + vsurp_n) / jnp.maximum(vtmp, puny)
+            new_it["levelIceVolume"] = jnp.where(vtmp > 0.0, mixed, vl)
         vicen = vtmp
 
     # add category-1 new ice
@@ -117,6 +129,27 @@ def add_new_ice(dt, hin_max: np.ndarray, aicen, vicen,
             jnp.maximum(v1[..., None], puny)
         new_it["iceSalinity"] = s.at[..., 0, :].set(
             jnp.where(v1[..., None] > puny, s1, s[..., 0, :]))
+
+    def mix_area_cat1(name, new_value):
+        if name not in new_at:
+            return
+        t = new_at[name]
+        t1 = (t[..., 0] * area1 + new_value * ai0new) / \
+            jnp.maximum(a1, puny)
+        new_at[name] = t.at[..., 0].set(
+            jnp.where(a1 > puny, t1, t[..., 0]))
+
+    mix_area_cat1("iceAge", 0.0)               # new ice has age 0
+    mix_area_cat1("firstYearIceArea", 1.0)     # ... is first-year
+    mix_area_cat1("levelIceArea", 1.0)         # ... is level
+    if dilute_ponds:
+        for name in ("pondArea", "pondDepth", "pondLidThickness"):
+            mix_area_cat1(name, 0.0)
+    if "levelIceVolume" in new_it:
+        vl = new_it["levelIceVolume"]
+        vl1 = (vl[..., 0] * vice1 + vi0new_cat1) / jnp.maximum(v1, puny)
+        new_it["levelIceVolume"] = vl.at[..., 0].set(
+            jnp.where(v1 > puny, vl1, vl[..., 0]))
 
     return NewIceResult(aicen=aicen, vicen=vicen,
                         area_tracers=new_at, ice_tracers=new_it,

@@ -99,6 +99,7 @@ class ColumnConfig:
     # scheme selectors (reference ice_colpkg_shared.F90:20-150)
     ktherm: int = 1                 # 0: zero-layer, 1: BL99, 2: mushy
     shortwave: str = "ccsm3"        # 'ccsm3' | 'dEdd'
+    use_snicar: bool = False        # 5-band SNICAR snow IOPs (with dEdd)
     kstrength: int = 1              # 0: Hibler79, 1: Rothrock75
     kitd: int = 1                   # 0: delta, 1: linear remap
     kcatbound: int = 0
@@ -106,6 +107,25 @@ class ColumnConfig:
     krdg_redist: int = 1
     atmbndy: str = "default"
     natmiter: int = 5
+    # optional tracer packages (reference Registry packages :2372-2404)
+    pond_scheme: str = "none"       # 'none' | 'cesm' | 'lvl' | 'topo'
+    use_level_ice: bool = False     # forced on by pond_scheme='lvl'
+    use_ice_age: bool = False
+    use_first_year_ice: bool = False
+    n_aerosols: int = 0
+    use_form_drag: bool = False     # Tsamados 2014 neutral drag
+    highfreq: bool = False          # Roberts 2014 ice-relative winds
+    tfrz_option: str = "minus1p8"   # ocean freezing temperature formula
+    use_brine_height: bool = False  # tr_brine (hbrine dynamics)
+    n_bio_tracers: int = 0          # derived: (n_algae+3)*(nblyr+1)
+    n_algae: int = 1
+    n_bio_layers: int = 7           # nblyr (bio grid layers)
+    solve_zsalinity: bool = False   # prognostic salinity (ktherm=1)
+    # pond parameters
+    rfracmin: float = 0.15
+    rfracmax: float = 0.85
+    pndaspect: float = 0.8
+    frzpnd: str = "hlid"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,21 +35,28 @@ EXPORT_FIELDS = (
     "Fioi_salt", "Fioi_taux", "Fioi_tauy")
 
 
-def import_state(fields: Dict[str, Any], dt: float, dtype=jnp.float64
+def import_state(fields: Dict[str, Any], dt: float, dtype=jnp.float64,
+                 tfrz_option: str = "minus1p8",
+                 sst_in_kelvin: bool = False
                  ) -> Tuple[DynamicsForcing, AtmosForcing, OceanForcing]:
     """Translate coupler import fields (NUOPC names, [nCells] arrays)
-    into the model forcing containers (reference ice_import :487)."""
+    into the model forcing containers (reference ice_import :487).
+
+    tfrz_option selects the sea freezing-temperature formula
+    (colpkg_sea_freezing_temperature, ice_colpkg.F90:1664-1686).
+    sst_in_kelvin: set when the driving coupler sends So_t in K (the
+    NUOPC cap converts; declare the convention, don't guess)."""
     def g(name, default=0.0):
         if name in fields:
             return jnp.asarray(fields[name], dtype)
         return jnp.full_like(jnp.asarray(fields["So_t"], dtype), default)
 
     sst = g("So_t")
-    # coupler SST may arrive in Kelvin
-    sst = jnp.where(sst > 200.0, sst - c.FRESH_FREEZING_POINT, sst)
+    if sst_in_kelvin:
+        sst = sst - c.FRESH_FREEZING_POINT
     sss = g("So_s", 34.0)
-    # linear freezing point of seawater (reference -depressT * sss option)
-    tf = -1.8 * jnp.ones_like(sss)
+    from .column.thermo_shared import sea_freezing_temperature
+    tf = sea_freezing_temperature(sss, tfrz_option)
     frzmlt = g("Fioo_q")
     if "Fioo_q" not in fields:
         frzmlt = slab_ocean_frzmlt(sst, tf, 20.0 * jnp.ones_like(sst),
@@ -79,9 +86,14 @@ def import_state(fields: Dict[str, Any], dt: float, dtype=jnp.float64
 
 
 def export_state(state: State, fluxes: ColumnFluxes = None,
-                 diags: Dict[str, Any] = None) -> Dict[str, np.ndarray]:
+                 diags: Dict[str, Any] = None,
+                 mesh_tensors=None) -> Dict[str, np.ndarray]:
     """Build the coupler export dict (reference ice_export :975):
-    fractions/states plus atmosphere- and ocean-side fluxes."""
+    fractions/states plus atmosphere- and ocean-side fluxes.
+
+    mesh_tensors: when given, vertex stresses are interpolated to cell
+    centers for the Fioi_tau* exports (reference
+    seaice_interpolate_vertex_to_cell before export)."""
     tr = state.tracers
     aice = np.asarray(tr["iceAreaCategory"].sum(-1))
     out: Dict[str, np.ndarray] = {
@@ -113,8 +125,18 @@ def export_state(state: State, fluxes: ColumnFluxes = None,
             "Si_anidf": np.asarray(f.albedo_ir_dif),
         })
     if diags is not None and "ocean_stress_u" in diags:
-        # vertex ocean stress is interpolated to cells by the caller if
-        # needed; export the raw vertex fields under the i2x names
-        out["Fioi_taux"] = np.asarray(diags["ocean_stress_u"])
-        out["Fioi_tauy"] = np.asarray(diags["ocean_stress_v"])
+        su = diags["ocean_stress_u"]
+        sv = diags["ocean_stress_v"]
+        if mesh_tensors is not None:
+            from .mesh.core import vertex_to_cell
+            su = vertex_to_cell(mesh_tensors, jnp.asarray(su))
+            sv = vertex_to_cell(mesh_tensors, jnp.asarray(sv))
+            out["Fioi_taux"] = np.asarray(su)
+            out["Fioi_tauy"] = np.asarray(sv)
+        else:
+            # no mesh available: export the raw vertex fields under
+            # explicitly vertex-named keys so the caller cannot confuse
+            # them with cell fields
+            out["Fioi_taux_vertex"] = np.asarray(su)
+            out["Fioi_tauy_vertex"] = np.asarray(sv)
     return out

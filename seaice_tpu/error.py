@@ -40,6 +40,24 @@ def write_abort_dump(run_dir: str, state: State, timestamp: str,
     return path
 
 
+def raise_on_failed_checks(checks: Dict[str, Any], state: State,
+                           timestamp: str,
+                           run_dir: Optional[str] = None) -> None:
+    """Host abort gate for checks already computed on-device (inside
+    the jitted step — the per-step seaice_check_state analog)."""
+    checks = jax.device_get(checks)
+    if bool(np.all(checks["ok"])):
+        return
+    failed = [k for k, v in checks.items()
+              if k != "ok" and not bool(np.all(v))]
+    dump = None
+    if run_dir is not None:
+        dump = write_abort_dump(run_dir, state, timestamp, failed)
+    raise SeaIceAbort(
+        f"critical state-check failure at {timestamp}: {failed}"
+        + (f" (state dumped to {dump})" if dump else ""), dump)
+
+
 def check_critical_error(state: State, timestamp: str,
                          run_dir: Optional[str] = None,
                          max_velocity: float = 5.0) -> None:

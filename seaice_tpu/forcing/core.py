@@ -79,14 +79,16 @@ def monthly_times() -> np.ndarray:
 # -- derived atmospheric fields (reference :787-1190) -------------------------
 
 def limit_specific_humidity(air_temperature, q):
-    """Cap humidity at saturation (reference limit_specific_humidity)."""
+    """Cap humidity at saturation (reference limit_specific_humidity).
+    jnp formulas: runs inside the jitted step (on-device derived
+    forcing, so the ice-state feedback is never stale)."""
     x = air_temperature - c.FRESH_FREEZING_POINT
     qmax = 2.0 + (0.7859 + 0.03477 * x) / (1.0 + 0.00412 * x) + \
         0.00422 * x
-    qmax = np.power(10.0, qmax)
-    qmax = np.maximum(qmax, c.PUNY)
+    qmax = jnp.power(10.0, qmax)
+    qmax = jnp.maximum(qmax, c.PUNY)
     qmax = (0.622 * qmax) / (1.0e5 - 0.378 * qmax)
-    return np.minimum(q, qmax)
+    return jnp.minimum(q, qmax)
 
 
 def longwave_rosati_miyakoda(cloud, ice_area, tsfc_c, sst_c, q, t_air):
@@ -95,7 +97,7 @@ def longwave_rosati_miyakoda(cloud, ice_area, tsfc_c, sst_c, q, t_air):
     clear = 1.0 - 0.8 * cloud
     tsfc_comb = tsfc_c * ice_area + sst_c * (1.0 - ice_area) + \
         c.FRESH_FREEZING_POINT
-    vp_sqrt = np.sqrt((1000.0 * q) / (0.622 + 0.378 * q))
+    vp_sqrt = jnp.sqrt((1000.0 * q) / (0.622 + 0.378 * q))
     term = t_air ** 3 * (t_air * (0.39 - 0.05 * vp_sqrt) * clear +
                          4.0 * (tsfc_comb - t_air))
     return c.ICE_SNOW_EMISSIVITY * c.STEFAN_BOLTZMANN * \
@@ -105,25 +107,25 @@ def longwave_rosati_miyakoda(cloud, ice_area, tsfc_c, sst_c, q, t_air):
 def longwave_parkinson_washington(t_air, cloud):
     """(reference :918-955)"""
     return c.STEFAN_BOLTZMANN * t_air ** 4 * \
-        (1.0 - 0.261 * np.exp(
+        (1.0 - 0.261 * jnp.exp(
             -7.77e-4 * (c.FRESH_FREEZING_POINT - t_air) ** 2)) * \
         (1.0 + 0.275 * cloud)
 
 
 def shortwave_down(lon, lat, cloud, q, seconds_today, day_of_year):
     """Zenith-angle shortwave from cloud fraction (reference :1077-1160)."""
-    lon = np.where(lon > np.pi, lon - 2.0 * np.pi, lon)
+    lon = jnp.where(lon > np.pi, lon - 2.0 * np.pi, lon)
     solar_time = (seconds_today % SECONDS_PER_DAY) / 3600.0 + \
-        12.0 * np.sin(0.5 * lon)
+        12.0 * jnp.sin(0.5 * lon)
     hour_angle = (12.0 - solar_time) * np.pi / 12.0
-    decl = 23.44 * np.cos((172.0 - day_of_year) * 2.0 * np.pi / 365.0) * \
+    decl = 23.44 * jnp.cos((172.0 - day_of_year) * 2.0 * np.pi / 365.0) * \
         c.DEGREES_TO_RADIANS
-    cosz = np.sin(lat) * np.sin(decl) + \
-        np.cos(lat) * np.cos(decl) * np.cos(hour_angle)
-    cosz = np.maximum(cosz, 0.0)
+    cosz = jnp.sin(lat) * jnp.sin(decl) + \
+        jnp.cos(lat) * jnp.cos(decl) * jnp.cos(hour_angle)
+    cosz = jnp.maximum(cosz, 0.0)
     e = 1.0e5 * q / (0.622 + 0.378 * q)
     d = (cosz + 2.7) * e * 1.0e-5 + 1.085 * cosz + 0.1
-    sw0 = np.maximum(1353.0 * cosz ** 2 / d, 0.0)
+    sw0 = jnp.maximum(1353.0 * cosz ** 2 / d, 0.0)
     return sw0 * (1.0 - 0.6 * cloud ** 3)
 
 
@@ -131,8 +133,8 @@ def split_precipitation(precip_rate, air_temperature):
     """Rain below freezing becomes snow (reference precipitation
     :958-1000; rates already in kg/m^2/s)."""
     is_snow = air_temperature < c.FRESH_FREEZING_POINT
-    snow = np.where(is_snow, precip_rate, 0.0)
-    rain = np.where(is_snow, 0.0, precip_rate)
+    snow = jnp.where(is_snow, precip_rate, 0.0)
+    rain = jnp.where(is_snow, 0.0, precip_rate)
     return rain, snow
 
 
@@ -144,10 +146,12 @@ def shortwave_split(sw_down):
 def derive_atmos_fields(six_hourly: Dict[str, np.ndarray],
                         monthly: Dict[str, np.ndarray],
                         lon, lat, ice_area, tsfc_c, sst_c,
-                        clock: ModelClock,
+                        seconds_today, day_of_year,
                         longwave_type: str = "rosati_miyakoda"):
     """Assemble the full atmospheric forcing snapshot from interpolated
-    raw records (reference atmospheric_forcing :605-830).
+    raw records (reference atmospheric_forcing :605-830).  Pure jnp —
+    traced inside the jitted step so the derived longwave sees the
+    CURRENT ice state, not a cached one.
 
     six_hourly: airTemperature [K], airSpecificHumidity, uAirVelocity,
     vAirVelocity. monthly: cloudFraction, precipitationRate [kg/m^2/s].
@@ -160,8 +164,7 @@ def derive_atmos_fields(six_hourly: Dict[str, np.ndarray],
                                       t_air)
     else:
         lw = longwave_parkinson_washington(t_air, cloud)
-    sw = shortwave_down(lon, lat, cloud, q, clock.seconds_today,
-                        clock.day_of_year)
+    sw = shortwave_down(lon, lat, cloud, q, seconds_today, day_of_year)
     rain, snow = split_precipitation(monthly["precipitationRate"], t_air)
     swvdr, swvdf, swidr, swidf = shortwave_split(sw)
     return {
@@ -191,7 +194,14 @@ class CoreAtmosForcing:
         sh = self.six_hourly.interpolate(clock.seconds)
         mo = self.monthly.interpolate(clock.seconds)
         return derive_atmos_fields(sh, mo, self.lon, self.lat, ice_area,
-                                   tsfc_c, sst_c, clock, longwave_type)
+                                   tsfc_c, sst_c, clock.seconds_today,
+                                   clock.day_of_year, longwave_type)
+
+    def raw_snapshot(self, clock: ModelClock):
+        """Interpolated raw records only — the derived fields are
+        computed on-device inside the jitted step."""
+        return (self.six_hourly.interpolate(clock.seconds),
+                self.monthly.interpolate(clock.seconds))
 
 
 @dataclasses.dataclass

@@ -119,3 +119,65 @@ def read_mpas_mesh(path: str) -> Mesh:
         dv_edge=dv_edge, dc_edge=get("dcEdge"),
     )
     return mesh.finalize()
+
+
+def write_mpas_mesh(path: str, mesh: Mesh) -> None:
+    """Write a Mesh as a classic-NetCDF MPAS mesh file (the standard
+    variable set read back by read_mpas_mesh; 1-based connectivity,
+    0 = invalid per the MPAS specification)."""
+    from scipy.io import netcdf_file
+    nc = netcdf_file(path, "w")
+    nc.createDimension("nCells", mesh.n_cells)
+    nc.createDimension("nVertices", mesh.n_vertices)
+    nc.createDimension("nEdges", mesh.n_edges)
+    nc.createDimension("maxEdges", mesh.max_edges)
+    nc.createDimension("vertexDegree", mesh.vertex_degree)
+    nc.createDimension("TWO", 2)
+
+    def putf(name, dims, data):
+        v = nc.createVariable(name, "d", dims)
+        v[:] = np.asarray(data, np.float64)
+
+    def putc(name, dims, data):
+        v = nc.createVariable(name, "i", dims)
+        v[:] = np.asarray(data, np.int32) + 1      # 0-based -> 1-based
+
+    putf("xCell", ("nCells",), mesh.x_cell)
+    putf("yCell", ("nCells",), mesh.y_cell)
+    putf("zCell", ("nCells",), mesh.z_cell
+         if mesh.z_cell is not None else np.zeros(mesh.n_cells))
+    putf("xVertex", ("nVertices",), mesh.x_vertex)
+    putf("yVertex", ("nVertices",), mesh.y_vertex)
+    putf("zVertex", ("nVertices",), mesh.z_vertex
+         if mesh.z_vertex is not None else np.zeros(mesh.n_vertices))
+    putf("latCell", ("nCells",), mesh.lat_cell
+         if mesh.lat_cell is not None else np.zeros(mesh.n_cells))
+    putf("lonCell", ("nCells",), mesh.lon_cell
+         if mesh.lon_cell is not None else np.zeros(mesh.n_cells))
+    putf("latVertex", ("nVertices",), mesh.lat_vertex
+         if mesh.lat_vertex is not None else np.zeros(mesh.n_vertices))
+    putf("lonVertex", ("nVertices",), mesh.lon_vertex
+         if mesh.lon_vertex is not None else np.zeros(mesh.n_vertices))
+    if mesh.x_edge is not None:
+        putf("xEdge", ("nEdges",), mesh.x_edge)
+        putf("yEdge", ("nEdges",), mesh.y_edge)
+    putf("areaCell", ("nCells",), mesh.area_cell)
+    putf("areaTriangle", ("nVertices",), mesh.area_triangle)
+    if mesh.kite_areas_on_vertex is not None:
+        putf("kiteAreasOnVertex", ("nVertices", "vertexDegree"),
+             mesh.kite_areas_on_vertex)
+    putf("dvEdge", ("nEdges",), mesh.dv_edge)
+    putf("dcEdge", ("nEdges",), mesh.dc_edge)
+    v = nc.createVariable("nEdgesOnCell", "i", ("nCells",))
+    v[:] = np.asarray(mesh.n_edges_on_cell, np.int32)
+    putc("verticesOnCell", ("nCells", "maxEdges"),
+         mesh.vertices_on_cell)
+    putc("edgesOnCell", ("nCells", "maxEdges"), mesh.edges_on_cell)
+    putc("cellsOnCell", ("nCells", "maxEdges"), mesh.cells_on_cell)
+    putc("cellsOnVertex", ("nVertices", "vertexDegree"),
+         mesh.cells_on_vertex)
+    putc("cellsOnEdge", ("nEdges", "TWO"), mesh.cells_on_edge)
+    putc("verticesOnEdge", ("nEdges", "TWO"), mesh.vertices_on_edge)
+    putc("edgesOnVertex", ("nVertices", "vertexDegree"),
+         mesh.edges_on_vertex)
+    nc.close()

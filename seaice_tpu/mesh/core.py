@@ -249,3 +249,13 @@ def cell_to_vertex(mesh_t: MeshTensors, field_cell):
     (reference seaice_interpolate_cell_to_vertex, mpas_seaice_mesh.F:2760)."""
     gathered = field_cell[mesh_t.cells_on_vertex]
     return (gathered * mesh_t.cell_to_vertex_w).sum(axis=1)
+
+
+def vertex_to_cell(mesh_t: MeshTensors, field_vertex):
+    """Masked-mean interpolation of a vertex field to cell centers
+    (reference seaice_interpolate_vertex_to_cell,
+    mpas_seaice_mesh.F:2906)."""
+    import jax.numpy as jnp
+    gathered = field_vertex[mesh_t.vertices_on_cell]
+    m = mesh_t.vertices_on_cell_mask
+    return (gathered * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)

@@ -65,9 +65,25 @@ class SeaIceModel:
         self.dtype = dtype
         if tracer_tree is None:
             if cfg.column.use_column_package:
+                col = cfg.column
+                n_bio = col.n_bio_tracers
+                if col.use_biogeochemistry and not n_bio:
+                    n_bio = (col.n_algae + 3) * (col.n_bio_layers + 1)
                 tracer_tree = standard_tracer_tree(
                     n_ice_layers=cfg.run.n_ice_layers,
-                    n_snow_layers=cfg.run.n_snow_layers)
+                    n_snow_layers=cfg.run.n_snow_layers,
+                    use_ice_age=col.use_ice_age,
+                    use_first_year_ice=col.use_first_year_ice,
+                    use_level_ice=col.use_level_ice,
+                    pond_scheme=col.pond_scheme,
+                    use_snow_tracers=col.use_snow_tracers,
+                    n_aerosols=col.n_aerosols,
+                    use_brine_height=(col.use_brine_height or
+                                      col.use_biogeochemistry or
+                                      col.solve_zsalinity),
+                    n_bio_tracers=n_bio,
+                    n_vertical_salinity=(col.n_bio_layers if
+                                         col.solve_zsalinity else 0))
             else:
                 tracer_tree = TracerTree((
                     mass_only_tree().specs[0],
@@ -93,14 +109,34 @@ class SeaIceModel:
             area_cell=jnp.asarray(mesh.area_cell, dtype))
         self.column = None
         if cfg.column.use_column_package:
+            col = cfg.column
             self.column = ColumnPhysics(
                 cfg.run.n_categories, cfg.run.n_ice_layers,
-                cfg.run.n_snow_layers, kcatbound=cfg.column.kcatbound,
-                kitd=cfg.column.kitd,
-                krdg_partic=cfg.column.krdg_partic,
-                krdg_redist=cfg.column.krdg_redist,
-                natmiter=cfg.column.natmiter,
-                shortwave=cfg.column.shortwave)
+                cfg.run.n_snow_layers, kcatbound=col.kcatbound,
+                kitd=col.kitd,
+                krdg_partic=col.krdg_partic,
+                krdg_redist=col.krdg_redist,
+                natmiter=col.natmiter,
+                shortwave=col.shortwave,
+                ktherm=col.ktherm, kstrength=col.kstrength,
+                pond_scheme=col.pond_scheme,
+                use_level_ice=col.use_level_ice or
+                col.pond_scheme == "lvl",
+                use_ice_age=col.use_ice_age,
+                use_first_year_ice=col.use_first_year_ice,
+                use_snow_tracers=col.use_snow_tracers,
+                n_aerosols=col.n_aerosols,
+                use_form_drag=col.use_form_drag,
+                highfreq=col.highfreq,
+                tfrz_option=col.tfrz_option,
+                rfracmin=col.rfracmin, rfracmax=col.rfracmax,
+                pndaspect=col.pndaspect, frzpnd=col.frzpnd,
+                use_snicar=col.use_snicar,
+                use_brine_height=col.use_brine_height,
+                use_biogeochemistry=col.use_biogeochemistry,
+                n_algae=col.n_algae,
+                n_bio_layers=col.n_bio_layers,
+                solve_zsalinity=col.solve_zsalinity)
 
     # -- state ---------------------------------------------------------------
 
@@ -114,6 +150,22 @@ class SeaIceModel:
         for spec in self.tree.specs:
             shape = (nc, ncat) + ((spec.n_layers,) if spec.n_layers else ())
             tr[spec.name] = jnp.zeros(shape, dt)
+        # non-zero tracer defaults: undeformed initial ice is all level;
+        # fresh snow grain radius (reference init_column_tracers)
+        if "levelIceArea" in tr:
+            tr["levelIceArea"] = jnp.ones((nc, ncat), dt)
+            tr["levelIceVolume"] = jnp.ones((nc, ncat), dt)
+        if "snowGrainRadius" in tr:
+            from .column.snow import RSNW_FALL
+            tr["snowGrainRadius"] = jnp.full(
+                tr["snowGrainRadius"].shape, RSNW_FALL, dt)
+        if "brineHeight" in tr:
+            tr["brineHeight"] = jnp.ones((nc, ncat), dt)
+        if "verticalSalinity" in tr:
+            from .column.thermo_shared import salinity_profile
+            prof = salinity_profile(tr["verticalSalinity"].shape[-1])
+            tr["verticalSalinity"] = jnp.broadcast_to(
+                jnp.asarray(prof, dt), tr["verticalSalinity"].shape)
         if ice_area_cat is not None:
             tr["iceAreaCategory"] = jnp.asarray(ice_area_cat, dt)
         if ice_volume_cat is not None:
@@ -157,27 +209,49 @@ class SeaIceModel:
         use_column = cfg.column.use_column_package
         use_ridging = use_column and cfg.column.use_ridging
 
+        use_kstrength = (use_column and
+                         cfg.column.kstrength == 1)
+        highfreq = use_column and cfg.column.highfreq
+
         def step(tensors: ModelTensors, state: State,
                  forcing: DynamicsForcing,
                  atmos: Optional[AtmosForcing] = None,
-                 ocean: Optional[OceanForcing] = None):
+                 ocean: Optional[OceanForcing] = None,
+                 coszen=None, day_of_year=None, lat=None):
             """One coupling timestep (reference seaice_timestep,
             mpas_seaice_time_integration.F:42-175): column pre-dynamics
             -> (velocity solve -> transport -> ridging) x n_sub ->
-            done."""
+            column post-dynamics.
+
+            coszen: cell cosine solar zenith (dEdd shortwave).
+            day_of_year/lat: first-year-ice tracer reset inputs."""
             tr = dict(state.tracers)
             vel = state.velocity
             diags = {}
             fluxes = None
             if use_column and atmos is not None:
+                uvel_c = vvel_c = None
+                if highfreq:
+                    from .mesh.core import vertex_to_cell
+                    uvel_c = vertex_to_cell(tensors.mesh, vel.u_velocity)
+                    vvel_c = vertex_to_cell(tensors.mesh, vel.v_velocity)
                 tr, fluxes = column.step_thermodynamics(
-                    cfg.run.dt, tr, atmos, ocean)
+                    cfg.run.dt, tr, atmos, ocean, coszen=coszen,
+                    uvel=uvel_c, vvel=vvel_c,
+                    day_of_year=day_of_year, lat=lat)
             for _ in range(n_sub):
                 if cfg.velocity.use_velocity_solver:
+                    pressure_in = None
+                    if use_kstrength:
+                        # Rothrock strength from the column package
+                        # (reference kstrength dispatch,
+                        # ice_mechred.F90 ice_strength)
+                        pressure_in = column.ice_strength(tr)
                     vel, diags = vel_step(
                         tensors.dynamics, vel, forcing,
                         tr["iceAreaCategory"], tr["iceVolumeCategory"],
-                        tr["snowVolumeCategory"])
+                        tr["snowVolumeCategory"],
+                        pressure_in=pressure_in)
                 if use_remap:
                     tr = remap_step(
                         tensors.remap, tensors.mesh.cells_on_cell,
@@ -192,6 +266,14 @@ class SeaIceModel:
                         dt_dyn, tr, diags["ridge_convergence"],
                         diags["ridge_shear"])
                     diags.update(rdg)
+            if use_column and atmos is not None:
+                # post-dynamics: snow physics + coupling prep
+                # (reference column.F:1208)
+                wind = jnp.sqrt(atmos.u_air ** 2 + atmos.v_air ** 2)
+                tr, post = column.step_post_dynamics(
+                    cfg.run.dt, tr, wind=wind,
+                    snow_rate=atmos.snow_rate)
+                diags["coupling_prep"] = post
             if fluxes is not None:
                 diags["column_fluxes"] = fluxes
             new_state = State(velocity=vel, tracers=tr,

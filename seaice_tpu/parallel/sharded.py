@@ -141,6 +141,7 @@ class ShardedSeaIceModel:
         self.models = [SeaIceModel(b.mesh, cfg, dtype)
                        for b in self.part.blocks]
         self.tree = self.models[0].tree
+        self.column = self.models[0].column
         self.tensors = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[m.tensors for m in self.models])
 
@@ -221,6 +222,13 @@ class ShardedSeaIceModel:
         return jax.tree.map(lambda *xs: jnp.stack(xs),
                             *[forcing_fn(b.mesh) for b in self.part.blocks])
 
+    def scatter_cell_tree(self, tree):
+        """Scatter a pytree of global [nCells, ...] fields (e.g.
+        AtmosForcing / OceanForcing / coszen) to stacked local blocks."""
+        return jax.tree.map(
+            lambda f: jnp.asarray(
+                self.part.scatter_cell_field(np.asarray(f))), tree)
+
     def gather_tracers(self, state: State) -> Dict[str, np.ndarray]:
         out = {}
         for name, arr in state.tracers.items():
@@ -252,12 +260,18 @@ class ShardedSeaIceModel:
             remap_step = make_remap_step(
                 tree, self.global_mesh.vertex_degree,
                 monotonic=cfg.advection.monotonic)
+        column = self.column
+        use_column = cfg.column.use_column_package
+        use_ridging = use_column and cfg.column.use_ridging
+        use_kstrength = use_column and cfg.column.kstrength == 1
 
         def shard_body(tensors: ModelTensors, halo: HaloMaps,
-                       state: State, forcing):
+                       state: State, forcing, atmos, ocean, coszen):
             # inside shard_map: strip the leading (length-1) block axis
-            tensors, halo, state, forcing = jax.tree.map(
-                lambda x: x[0], (tensors, halo, state, forcing))
+            (tensors, halo, state, forcing, atmos, ocean,
+             coszen) = jax.tree.map(
+                lambda x: x[0],
+                (tensors, halo, state, forcing, atmos, ocean, coszen))
 
             if self.halo_mode == "ring":
                 def ex_vertex(f):
@@ -299,12 +313,26 @@ class ShardedSeaIceModel:
             tr = dict(state.tracers)
             vel = state.velocity
             diags = {}
+            fluxes = None
+            if use_column and atmos is not None:
+                # column physics is per-cell: each shard runs it on its
+                # owned + halo cells; halo results are bitwise identical
+                # to the owner's (same tracers + same scattered forcing),
+                # so no exchange is needed (reference runs the per-cell
+                # loop on nCellsSolve then does a tracer halo,
+                # mpas_seaice_column.F:4279)
+                tr, fluxes = column.step_thermodynamics(
+                    cfg.run.dt, tr, atmos, ocean, coszen=coszen)
             for _ in range(cfg.velocity.dynamics_subcycle_number):
                 if cfg.velocity.use_velocity_solver:
+                    pressure_in = None
+                    if use_kstrength:
+                        pressure_in = column.ice_strength(tr)
                     vel, diags = vel_step(
                         tensors.dynamics, vel, forcing,
                         tr["iceAreaCategory"], tr["iceVolumeCategory"],
-                        tr["snowVolumeCategory"])
+                        tr["snowVolumeCategory"],
+                        pressure_in=pressure_in)
                 if use_remap:
                     tr = remap_step(
                         tensors.remap, tensors.mesh.cells_on_cell,
@@ -315,6 +343,19 @@ class ShardedSeaIceModel:
                     # authoritative; halo updates computed locally are
                     # discarded)
                     tr = {k: exchange_cell(v) for k, v in tr.items()}
+                if use_ridging and diags:
+                    tr, rdg = column.step_ridging(
+                        dt_dyn, tr, diags["ridge_convergence"],
+                        diags["ridge_shear"])
+                    diags.update(rdg)
+            if use_column and atmos is not None:
+                wind = jnp.sqrt(atmos.u_air ** 2 + atmos.v_air ** 2)
+                tr, post = column.step_post_dynamics(
+                    cfg.run.dt, tr, wind=wind,
+                    snow_rate=atmos.snow_rate)
+                diags["coupling_prep"] = post
+            if fluxes is not None:
+                diags["column_fluxes"] = fluxes
 
             new_state = State(velocity=vel, tracers=tr,
                               time=state.time + cfg.run.dt)
@@ -323,36 +364,121 @@ class ShardedSeaIceModel:
 
         smapped = jax.shard_map(
             shard_body, mesh=self.jax_mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=(P(AXIS),) * 7,
             out_specs=P(AXIS),
             check_vma=False)
 
-        def step(tensors, halo, state, forcing):
-            return smapped(tensors, halo, state, forcing)
+        def step(tensors, halo, state, forcing, atmos=None, ocean=None,
+                 coszen=None):
+            return smapped(tensors, halo, state, forcing, atmos, ocean,
+                           coszen)
 
         if jit:
             step = jax.jit(step)
         return step
 
 
-def dryrun(n_devices: int) -> None:
-    """Driver hook: compile + run ONE sharded step on tiny shapes."""
-    import jax.numpy as jnp
-    from ..config import box_test_config
+def full_physics_inputs(mesh, cfg, dtype=jnp.float64):
+    """Global initial state + forcing for a full-physics run (shared by
+    the dryrun and the sharding-invariance tests)."""
+    from ..column.driver import AtmosForcing, OceanForcing
+    from ..column.driver import slab_ocean_frzmlt
+    from ..column.itd import category_boundaries
+    from ..column.thermo_shared import (
+        salinity_profile, melting_temperature,
+        ice_enthalpy_from_temperature, snow_enthalpy_from_temperature)
     from ..testcases import box
+
+    ncat = cfg.run.n_categories
+    ni = cfg.run.n_ice_layers
+    ns = cfg.run.n_snow_layers
+    nc = mesh.n_cells
+    conc = np.clip(mesh.x_cell / box.BOX_LX, 0.05, 1.0)
+    area = np.tile((conc / ncat)[:, None], (1, ncat)) * 0.9
+    hmax = category_boundaries(ncat, cfg.column.kcatbound,
+                               cfg.column.kitd)
+    mids = 0.5 * (hmax[:-1] + np.minimum(hmax[1:], 10.0))
+    vol = area * mids
+    snow = area * 0.05
+    S = salinity_profile(ni)
+    has = area[..., None] > 0
+    extra = {
+        "surfaceTemperature": jnp.asarray(
+            np.where(area > 0, -12.0, 0.0), dtype),
+        "iceEnthalpy": ice_enthalpy_from_temperature(
+            jnp.asarray(np.where(has, -8.0, 0.0) *
+                        np.ones((nc, ncat, ni)), dtype),
+            melting_temperature(
+                jnp.asarray(np.tile(S, (nc, ncat, 1)), dtype))) *
+        has,
+        "iceSalinity": jnp.asarray(np.tile(S, (nc, ncat, 1)),
+                                   dtype) * has,
+        "snowEnthalpy": snow_enthalpy_from_temperature(
+            jnp.asarray(-10.0 * np.ones((nc, ncat, ns)), dtype)) * has,
+    }
+    one = np.ones((nc,))
+    dynf = box.box_forcing(mesh, t=0.0, dtype=dtype)
+    atm = AtmosForcing(
+        air_temperature=252.0 * one, specific_humidity=0.0004 * one,
+        u_air=np.asarray(dynf.u_air_velocity),
+        v_air=np.asarray(dynf.v_air_velocity),
+        longwave_down=170.0 * one,
+        sw_vis_dir=5.0 * one, sw_vis_dif=5.0 * one,
+        sw_ir_dir=4.0 * one, sw_ir_dif=4.0 * one,
+        rain_rate=0.0 * one, snow_rate=1e-5 * one,
+        air_density=1.3 * one, air_level_height=10.0 * one)
+    sst, Tf = -1.7 * one, -1.8 * one
+    ocn = OceanForcing(
+        sst=sst, sss=34.0 * one, freezing_temperature=Tf,
+        frzmlt=np.asarray(slab_ocean_frzmlt(
+            jnp.asarray(sst), jnp.asarray(Tf), 20.0 * one,
+            cfg.run.dt)),
+        mixed_layer_depth=20.0 * one)
+    coszen = 0.5 * one
+    return area, vol, snow, extra, atm, ocn, coszen
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: compile + run ONE sharded FULL-PHYSICS step
+    (mushy thermo, dEdd shortwave, level-ice ponds, Rothrock strength,
+    5 categories, remap + ridging) on tiny shapes."""
+    import jax.numpy as jnp
+    from ..config import (AdvectionConfig, ColumnConfig, Config,
+                          RunConfig, VelocitySolverConfig)
+    from ..testcases import box
+    from ..utils.pytree import replace as pt_replace
 
     devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, found {len(devices)}")
-    cfg = box_test_config(elastic_subcycles=2)
-    mesh = box.box_test_mesh(8, 8)
+    cfg = Config(
+        run=RunConfig(dt=1800.0, n_categories=5, n_ice_layers=7),
+        velocity=VelocitySolverConfig(
+            elastic_subcycle_number=2, rotate_cartesian_grid=False,
+            include_metric_terms=False, geostrophic_surface_tilt=False),
+        advection=AdvectionConfig(),
+        column=ColumnConfig(ktherm=2, shortwave="dEdd",
+                            pond_scheme="lvl", kstrength=1))
+    mesh = box.box_test_mesh(10, 10)
     mesh.f_vertex = box.box_coriolis_parameter(mesh)
     model = ShardedSeaIceModel(mesh, cfg, n_devices, dtype=jnp.float32)
-    area, vol, snow = box.box_initial_state(mesh, n_categories=1)
+    (area, vol, snow, extra, atm, ocn,
+     coszen) = full_physics_inputs(mesh, cfg, jnp.float32)
     state = model.init_state(area, vol, snow)
+    tr = dict(state.tracers)
+    for k, v in extra.items():
+        tr[k] = jnp.asarray(model.part.scatter_cell_field(
+            np.asarray(v, np.float32)))
+    state = pt_replace(state, tracers=tr)
     forcing = model.scatter_forcing(
         lambda m: box.box_forcing(m, t=0.0, dtype=jnp.float32))
+    atm_l = model.scatter_cell_tree(
+        jax.tree.map(lambda x: np.asarray(x, np.float32), atm))
+    ocn_l = model.scatter_cell_tree(
+        jax.tree.map(lambda x: np.asarray(x, np.float32), ocn))
+    cz_l = model.scatter_cell_tree(jnp.asarray(coszen, jnp.float32))
     step = model.make_step()
-    out, _ = step(model.tensors, model.halo, state, forcing)
+    out, _ = step(model.tensors, model.halo, state, forcing,
+                  atm_l, ocn_l, cz_l)
     jax.block_until_ready(out.velocity.u_velocity)

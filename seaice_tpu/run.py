@@ -50,11 +50,12 @@ class StandaloneRunner:
         self.ocean = ocean_forcing
         self.clock = clock or ModelClock()
         self.streams = streams or RunStreams()
-        self.step_fn = model.make_step()
+        self.step_fn = model.make_step(jit=False)
         self.timers = PhaseTimers()
         self._out_alarm = Alarm(self.streams.output_interval)
         self._restart_alarm = Alarm(self.streams.restart_interval)
         self.dtype = model.dtype
+        self._device_step = self._build_device_step()
 
     # -- forcing assembly ----------------------------------------------------
 
@@ -112,59 +113,105 @@ class StandaloneRunner:
             mixed_layer_depth=hmix)
         return atmf, ocnf
 
-    # -- time loop (reference timeLoop :314-371) -----------------------------
+    # -- the fused device step ----------------------------------------------
 
-    def run(self, n_steps: int, check_interval: int = 24,
-            forcing_state_interval: int = 6):
-        """forcing_state_interval: steps between refreshes of the
-        ice-state fields feeding the derived-forcing formulas (the
-        Rosati-Miyakoda longwave uses aice/Tsfc); per-step device
-        fetches through the TPU tunnel dominate the host loop
-        otherwise, and the longwave feedback is slow."""
+    def _build_device_step(self):
+        """One jitted program per coupling step: derived forcing (from
+        the CURRENT ice state — reference derived-forcing semantics,
+        mpas_seaice_forcing.F:842-1190), real solar zenith angles from
+        the clock (compute_coszen), then the model step.  Clock scalars
+        are traced arguments, so the program compiles once."""
         model = self.model
-        dt = model.cfg.run.dt
-        aice = tsfc = None
-        for istep in range(n_steps):
-            # forcing snapshot at current clock (reference
-            # seaice_forcing_get :306)
-            atm_raw = None
-            ocn_raw = None
-            if self.atmos is not None:
-                if aice is None or istep % forcing_state_interval == 0:
-                    aice = np.asarray(
-                        self.state.tracers["iceAreaCategory"].sum(-1))
-                    if "surfaceTemperature" in self.state.tracers:
-                        tsfc = np.asarray(
-                            self.state.tracers[
-                                "surfaceTemperature"].max(-1))
-                    else:
-                        tsfc = np.zeros_like(aice)
-                sst0 = -1.8 * np.ones_like(aice)
-                if self.ocean is not None:
-                    sst0 = self.ocean.snapshot(self.clock).get(
-                        "seaSurfaceTemperature", sst0)
-                atm_raw = self.atmos.snapshot(self.clock, aice, tsfc,
-                                              sst0)
-            if self.ocean is not None:
-                ocn_raw = self.ocean.snapshot(self.clock)
+        dt_step = model.cfg.run.dt
+        use_col = model.cfg.column.use_column_package
+        d = self.dtype
+        step_fn = self.step_fn
+        has_atmos = self.atmos is not None
+        if has_atmos:
+            lon = jnp.asarray(self.atmos.lon, d)
+            lat = jnp.asarray(self.atmos.lat, d)
+        else:
+            lon = lat = None
+        from .column.orbital import compute_coszen
+        from .diagnostics import check_state
+        from .forcing.core import derive_atmos_fields
 
+        def fn(tensors, state, sixh, monthly, ocn_raw,
+               seconds_today, day_of_year):
+            if has_atmos:
+                aicen = state.tracers["iceAreaCategory"]
+                aice = aicen.sum(-1)
+                tsfc_tr = state.tracers.get("surfaceTemperature")
+                if tsfc_tr is not None:
+                    tsfc = jnp.where(
+                        aice > 1e-11,
+                        (tsfc_tr * aicen).sum(-1) /
+                        jnp.maximum(aice, 1e-11), 0.0)
+                else:
+                    tsfc = jnp.zeros_like(aice)
+                sst0 = ocn_raw.get("seaSurfaceTemperature",
+                                   -1.8 * jnp.ones_like(aice)) \
+                    if ocn_raw else -1.8 * jnp.ones_like(aice)
+                atm_raw = derive_atmos_fields(
+                    sixh, monthly, lon, lat, aice, tsfc, sst0,
+                    seconds_today, day_of_year)
+                coszen, _ = compute_coszen(lat, lon, day_of_year,
+                                           seconds_today)
+            else:
+                atm_raw = None
+                coszen = None
             dyn_forcing = self._dynamics_forcing(atm_raw, ocn_raw)
-            if model.cfg.column.use_column_package:
-                atmf, ocnf = self._column_forcing(atm_raw, ocn_raw, dt)
+            if use_col and atm_raw is not None:
+                atmf, ocnf = self._column_forcing(atm_raw, ocn_raw,
+                                                  dt_step)
             else:
                 atmf = ocnf = None
+            state, diags = step_fn(tensors, state, dyn_forcing,
+                                   atmf, ocnf, coszen=coszen,
+                                   day_of_year=day_of_year,
+                                   lat=lat)
+            checks = check_state(state)
+            return state, diags, checks
+
+        return jax.jit(fn)
+
+    # -- time loop (reference timeLoop :314-371) -----------------------------
+
+    def run(self, n_steps: int, check_interval: int = 1):
+        """check_interval: steps between host-side abort-gate fetches
+        (the state check itself runs on-device every step, like the
+        reference's per-step seaice_check_state)."""
+        model = self.model
+        dt = model.cfg.run.dt
+        d = self.dtype
+        for istep in range(n_steps):
+            # raw forcing records at the current clock (reference
+            # seaice_forcing_get :306); interpolation is host-side and
+            # cheap, derived fields happen on device
+            sixh = monthly = None
+            ocn_raw = None
+            if self.atmos is not None:
+                sixh, monthly = self.atmos.raw_snapshot(self.clock)
+                sixh = {k: jnp.asarray(v, d) for k, v in sixh.items()}
+                monthly = {k: jnp.asarray(v, d)
+                           for k, v in monthly.items()}
+            if self.ocean is not None:
+                ocn_raw = {k: jnp.asarray(v, d) for k, v in
+                           self.ocean.snapshot(self.clock).items()}
 
             with self.timers.time("timestep"):
-                self.state, diags = self.step_fn(
-                    model.tensors, self.state, dyn_forcing, atmf, ocnf)
+                self.state, diags, checks = self._device_step(
+                    model.tensors, self.state, sixh, monthly, ocn_raw,
+                    jnp.asarray(self.clock.seconds_today, d),
+                    jnp.asarray(float(self.clock.day_of_year), d))
                 jax.block_until_ready(self.state.velocity.u_velocity)
 
             self.clock.advance(dt)
 
             if (istep + 1) % check_interval == 0:
-                from .error import check_critical_error
-                check_critical_error(
-                    self.state, self.clock.timestamp(),
+                from .error import raise_on_failed_checks
+                raise_on_failed_checks(
+                    checks, self.state, self.clock.timestamp(),
                     run_dir=self.streams.restart_dir)
 
             if self.streams.output is not None and \

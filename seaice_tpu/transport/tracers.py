@@ -89,17 +89,32 @@ def standard_tracer_tree(n_ice_layers: int = 7, n_snow_layers: int = 1,
                          use_ice_age: bool = False,
                          use_first_year_ice: bool = False,
                          use_level_ice: bool = False,
+                         pond_scheme: str = "none",
+                         use_snow_tracers: bool = False,
+                         n_aerosols: int = 0,
+                         use_brine_height: bool = False,
+                         n_bio_tracers: int = 0,
+                         n_vertical_salinity: int = 0,
+                         enthalpy: bool = True,
                          use_ponds: bool = False,
-                         use_lid_thickness: bool = False,
-                         enthalpy: bool = True) -> TracerTree:
+                         use_lid_thickness: bool = True) -> TracerTree:
     """The default hierarchy (reference ..._tracers.F:218-330):
 
     iceAreaCategory (mass)
-      +- iceVolumeCategory     -> child iceEnthalpy, iceSalinity
-      +- snowVolumeCategory    -> child snowEnthalpy
+      +- iceVolumeCategory     -> children iceEnthalpy, iceSalinity,
+      |                           levelIceVolume, ice aerosols, zBGC
+      +- snowVolumeCategory    -> children snowEnthalpy, snow mass /
+      |                           grain-radius tracers, snow aerosols
       +- surfaceTemperature
-      +- (optional) iceAge, firstYearIceArea, levelIceArea/Volume, ponds
+      +- (optional) iceAge, firstYearIceArea, levelIceArea
+      +- ponds: pondArea under levelIceArea (lvl scheme) or directly
+         under iceAreaCategory (cesm/topo), with pondDepth and
+         pondLidThickness children (reference :252-306)
     """
+    if use_ponds and pond_scheme == "none":
+        pond_scheme = "lvl"          # legacy kwarg
+    if pond_scheme == "lvl":
+        use_level_ice = True
     specs = [
         TracerSpec("iceAreaCategory", None),
         TracerSpec("iceVolumeCategory", "iceAreaCategory",
@@ -123,14 +138,45 @@ def standard_tracer_tree(n_ice_layers: int = 7, n_snow_layers: int = 1,
         specs.append(TracerSpec("firstYearIceArea", "iceAreaCategory"))
     if use_level_ice:
         specs.append(TracerSpec("levelIceArea", "iceAreaCategory"))
-        specs.append(TracerSpec("levelIceVolume", "iceAreaCategory"))
-    if use_ponds:
-        if not use_level_ice:
-            raise ValueError("level-ice ponds require level ice tracers")
-        specs.append(TracerSpec("pondArea", "levelIceArea"))
+        specs.append(TracerSpec("levelIceVolume", "iceVolumeCategory"))
+    if pond_scheme != "none":
+        pond_parent = ("levelIceArea" if pond_scheme == "lvl"
+                       else "iceAreaCategory")
+        specs.append(TracerSpec("pondArea", pond_parent))
         specs.append(TracerSpec("pondDepth", "pondArea"))
-        if use_lid_thickness:
+        if use_lid_thickness and pond_scheme in ("lvl", "topo"):
             specs.append(TracerSpec("pondLidThickness", "pondArea"))
+    if use_snow_tracers:
+        specs += [
+            TracerSpec("snowIceMass", "snowVolumeCategory",
+                       n_layers=n_snow_layers),
+            TracerSpec("snowLiquidMass", "snowVolumeCategory",
+                       n_layers=n_snow_layers),
+            TracerSpec("snowGrainRadius", "snowVolumeCategory",
+                       n_layers=n_snow_layers),
+        ]
+    if n_aerosols:
+        specs += [
+            TracerSpec("snowScatteringAerosol", "snowVolumeCategory",
+                       n_layers=n_aerosols),
+            TracerSpec("snowBodyAerosol", "snowVolumeCategory",
+                       n_layers=n_aerosols),
+            TracerSpec("iceScatteringAerosol", "iceVolumeCategory",
+                       n_layers=n_aerosols),
+            TracerSpec("iceBodyAerosol", "iceVolumeCategory",
+                       n_layers=n_aerosols),
+        ]
+    if use_brine_height:
+        specs.append(TracerSpec("brineHeight", "iceAreaCategory"))
+    if n_bio_tracers:
+        # vertical zBGC tracers ride on the brine fraction
+        # (reference ..._tracers.F bio tracer block)
+        specs.append(TracerSpec("bioTracers", "iceVolumeCategory",
+                                n_layers=n_bio_tracers))
+    if n_vertical_salinity:
+        specs.append(TracerSpec("verticalSalinity",
+                                "iceVolumeCategory",
+                                n_layers=n_vertical_salinity))
     return TracerTree(tuple(specs))
 
 

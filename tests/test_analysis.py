@@ -29,8 +29,6 @@ def _model():
 def test_analysis_driver_hooks():
     model, state = _model()
     members = default_members(compute_interval=3600.0)
-    members.append(PointwiseStatsMember([0, 5],
-                                        compute_interval=3600.0))
     drv = AnalysisDriver(members)
     drv.bootstrap(model, state)
     drv.init(model, state)
@@ -46,7 +44,7 @@ def test_analysis_driver_hooks():
     rs = drv.result("regional_statistics")
     assert float(rs["total_ice_area"].sum()) > 0
     pw = drv.result("pointwise_stats")
-    assert pw["iceAreaAtPoints"].shape == (2,)
+    assert pw["iceAreaAtPoints"].shape == (1,)
     ts = drv.result("time_series_stats")
     assert "iceAreaCell_avg" in ts
     np.testing.assert_allclose(ts["iceAreaCell_avg"],
@@ -160,15 +158,57 @@ def test_coupler_import_export():
         "Sa_z": np.full(nc, 10.0),
     }
     assert set(x2i) <= set(IMPORT_FIELDS)
-    dyn, atm, ocn = import_state(x2i, cfg.run.dt)
+    dyn, atm, ocn = import_state(x2i, cfg.run.dt, sst_in_kelvin=True,
+                                 tfrz_option="linear_salt")
     assert float(ocn.sst[0]) < 0.0        # Kelvin -> Celsius conversion
+    # tfrz_option honored: linear_salt gives -depressT*sss
+    np.testing.assert_allclose(np.asarray(ocn.freezing_temperature),
+                               -0.054 * 34.0, atol=1e-6)
 
     step = model.make_step()
     state, diags = step(model.tensors, state, dyn, atm, ocn)
-    i2x = export_state(state, diags.get("column_fluxes"), diags)
+    i2x = export_state(state, diags.get("column_fluxes"), diags,
+                       mesh_tensors=model.tensors.mesh)
+    assert "Fioi_taux" in i2x and i2x["Fioi_taux"].shape == (nc,)
     for k in ("Si_ifrac", "Si_vice", "Si_t", "Fioi_melth",
               "Fioi_meltw", "Faii_sen", "Si_avsdr"):
         assert k in i2x and np.isfinite(i2x[k]).all(), k
     assert set(i2x) <= set(EXPORT_FIELDS)
     assert i2x["Si_ifrac"].max() <= 1.0 + 1e-9
     assert i2x["Si_t"].max() < 273.15     # Kelvin export below freezing
+
+
+def test_full_member_roster():
+    """All 19-equivalent members run and produce finite output
+    (reference src/analysis_members/ roster)."""
+    model, state = _model()
+    members = default_members(compute_interval=3600.0)
+    names = {m.name for m in members}
+    expected = {
+        "high_frequency_output", "temperatures", "regional_statistics",
+        "conservation_check", "ice_present", "maximum_ice_presence",
+        "area_variables", "load_balance", "ridging_diagnostics",
+        "pond_diagnostics", "geographical_vectors", "miscellaneous",
+        "unit_conversion", "ice_shelves", "pointwise_stats",
+        "time_series_stats", "time_series_stats_daily",
+        "time_series_stats_monthly", "time_series_stats_climatology"}
+    assert expected <= names
+    drv = AnalysisDriver(members)
+    drv.bootstrap(model, state)
+    drv.init(model, state)
+    clk = ModelClock()
+    diags = {"dardg1dt": jnp.zeros(model.mesh.n_cells)}
+    clk.advance(3600.0)
+    drv.on_timestep(model, state, clk, diags=diags)
+    misc = drv.result("miscellaneous")
+    assert np.isfinite(misc["iceThicknessCell"]).all()
+    assert misc["iceThicknessCell"].max() > 0.0
+    uc = drv.result("unit_conversion")
+    assert uc["totalIceVolumeKm3"] > 0.0
+    assert 0.0 <= uc["iceConcentrationPercent"].max() <= 100.0
+    rd = drv.result("ridging_diagnostics")
+    assert "dardg1dt" in rd
+    geo = drv.result("geographical_vectors")
+    assert np.isfinite(geo["uVelocityGeo"]).all()
+    shelf = drv.result("ice_shelves")
+    assert shelf["iceAreaShelf"] == 0.0     # no land-ice mask set

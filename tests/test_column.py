@@ -456,7 +456,7 @@ class TestDeltaEddington:
         def alb(mu, rsnw):
             sw = shortwave_dedd(aicen, hi, hs, tsf, jnp.full((1,), mu),
                                 **f, n_ice_layers=7,
-                                snow_grain_radius=rsnw)
+                                rsnw=jnp.full((1, 1, 1), rsnw))
             refl = (sw.alvdr * f["swvdr"] + sw.alvdf * f["swvdf"] +
                     sw.alidr * f["swidr"] + sw.alidf * f["swidf"])
             return float(refl[0, 0] / incident[0])
@@ -501,7 +501,8 @@ class TestDeltaEddington:
             freezing_temperature=-1.8 * one, frzmlt=0.0 * one,
             mixed_layer_depth=20.0 * one)
         step = jax.jit(
-            lambda t: col.step_thermodynamics(3600.0, t, atm, ocn))
+            lambda t: col.step_thermodynamics(
+                3600.0, t, atm, ocn, coszen=jnp.full((nb,), 0.5)))
         tr2, fluxes = step(tr)
         for v in jax.tree.leaves(tr2):
             assert np.isfinite(np.asarray(v)).all()
