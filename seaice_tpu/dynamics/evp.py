@@ -212,7 +212,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          halo_exchange_vertex=None,
                          halo_exchange_cell_field=None,
                          halo_exchange_vertex_field=None,
-                         min_dv_edge: float = None):
+                         min_dv_edge: float = None,
+                         raster=None):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -461,6 +462,10 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
                 ocean_coeff, solve_velocity)
 
+        # structured raster shifts replace the gathers when the mesh is
+        # a regular quad grid (mesh/structured.py); planar only
+        use_raster = (use_fast and raster is not None and not metric)
+
         if use_fast:
             # transposed (cell-minor) layout; see variational_fast.py
             from . import variational_fast as vf
@@ -469,8 +474,12 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
 
             def body(_, carry):
                 u, v, t11, t22, t12 = carry
-                e11, e22, e12 = vf.strain_tensor_T(dyn.fast, u, v,
-                                                   metric)
+                if use_raster:
+                    e11, e22, e12 = vf.strain_tensor_S(
+                        dyn.fast, raster, u, v)
+                else:
+                    e11, e22, e12 = vf.strain_tensor_T(dyn.fast, u, v,
+                                                       metric)
                 if relation == ConstitutiveRelation.EVP:
                     n11, n22, n12, _ = constitutive.evp_stress_update(
                         t11, t22, t12, e11, e22, e12, p_T, dt_e,
@@ -487,8 +496,13 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 t11 = jnp.where(ss_T > 0, n11, t11)
                 t22 = jnp.where(ss_T > 0, n22, t22)
                 t12 = jnp.where(ss_T > 0, n12, t12)
-                div_u, div_v = vf.stress_divergence_T(
-                    dyn.fast, t11, t22, t12, solve_velocity, metric)
+                if use_raster:
+                    div_u, div_v = vf.stress_divergence_S(
+                        dyn.fast, raster, t11, t22, t12,
+                        solve_velocity)
+                else:
+                    div_u, div_v = vf.stress_divergence_T(
+                        dyn.fast, t11, t22, t12, solve_velocity, metric)
                 u, v = momentum_update(u, v, div_u, div_v)
                 u, v = halo_exchange_vertex(u, v)
                 return (u, v, t11, t22, t12)

@@ -130,3 +130,61 @@ def stress_divergence_T(ft: FastTensors, s11, s22, s12, solve_velocity,
     du = jnp.where(solve_velocity > 0, du / ft.denominator, 0.0)
     dv = jnp.where(solve_velocity > 0, dv / ft.denominator, 0.0)
     return du, dv
+
+
+# -- structured (raster quad) fast path --------------------------------------
+# When the mesh is a raster-ordered regular quad grid (box/square
+# testcases), the two per-subcycle gathers become static 2-D shifts:
+# contiguous slices on the VPU instead of per-index gathers (the
+# measured subcycle bottleneck).  See mesh/structured.py.
+
+def gather_corners_S(layout, u, v):
+    """Vertex velocities at cell corners via raster shifts.
+    Returns (u_c, v_c) each [me, nc] (same layout/numerics as the
+    voc_T gather: all corners valid on a regular quad)."""
+    import jax.numpy as jnp
+    nxc, nyc = layout.nxc, layout.nyc
+    u2 = u.reshape(layout.nxv, layout.nyv)
+    v2 = v.reshape(layout.nxv, layout.nyv)
+    uc, vc = [], []
+    for (oi, oj) in layout.offsets:
+        uc.append(u2[oi:oi + nxc, oj:oj + nyc].reshape(-1))
+        vc.append(v2[oi:oi + nxc, oj:oj + nyc].reshape(-1))
+    return jnp.stack(uc), jnp.stack(vc)
+
+
+def strain_tensor_S(ft: FastTensors, layout, u, v):
+    """strain_tensor_T with the gather replaced by shifts (planar)."""
+    import jax.numpy as jnp
+    u_c, v_c = gather_corners_S(layout, u, v)
+    gx = ft.basis_grad_T[:, 0]
+    gy = ft.basis_grad_T[:, 1]
+    e11 = (u_c[:, None, :] * gx).sum(0)
+    e22 = (v_c[:, None, :] * gy).sum(0)
+    e12 = 0.5 * ((u_c[:, None, :] * gy).sum(0) +
+                 (v_c[:, None, :] * gx).sum(0))
+    return e11, e22, e12
+
+
+def stress_divergence_S(ft: FastTensors, layout, s11, s22, s12,
+                        solve_velocity):
+    """stress_divergence_T with the vertex gather replaced by static
+    slice scatter-adds (planar)."""
+    import jax.numpy as jnp
+    bu = ft.basis_int_T[:, 0]
+    bv = ft.basis_int_T[:, 1]
+    pu = (s11[:, None, :] * bu).sum(0) + (s12[:, None, :] * bv).sum(0)
+    pv = (s22[:, None, :] * bv).sum(0) + (s12[:, None, :] * bu).sum(0)
+    nxc, nyc = layout.nxc, layout.nyc
+    du2 = jnp.zeros((layout.nxv, layout.nyv), pu.dtype)
+    dv2 = jnp.zeros((layout.nxv, layout.nyv), pu.dtype)
+    for b, (oi, oj) in enumerate(layout.offsets):
+        du2 = du2.at[oi:oi + nxc, oj:oj + nyc].add(
+            pu[b].reshape(nxc, nyc))
+        dv2 = dv2.at[oi:oi + nxc, oj:oj + nyc].add(
+            pv[b].reshape(nxc, nyc))
+    du = -du2.reshape(-1)
+    dv = -dv2.reshape(-1)
+    du = jnp.where(solve_velocity > 0, du / ft.denominator, 0.0)
+    dv = jnp.where(solve_velocity > 0, dv / ft.denominator, 0.0)
+    return du, dv

@@ -187,10 +187,12 @@ class SeaIceModel:
         up compile time and kill the persistent cache)."""
         cfg = self.cfg
         tree = self.tree
+        from .mesh.structured import detect_raster_quad
         vel_step = evp.make_velocity_solver(
             cfg, halo_exchange_vertex=halo_exchange_vertex,
             min_dv_edge=float(np.min(self.mesh.dv_edge[
-                self.mesh.dv_edge > 0])))
+                self.mesh.dv_edge > 0])),
+            raster=detect_raster_quad(self.mesh))
         use_remap = (cfg.advection.advection_type ==
                      AdvectionType.INCREMENTAL_REMAP)
         use_upwind = (cfg.advection.advection_type ==
