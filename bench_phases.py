@@ -179,6 +179,95 @@ def main():
                       600.0), n=10,
         fetch=lambda o: float(o["iceAreaCategory"][0, 0])) * 1e3)
 
+    # remap stage breakdown (smaller loop count: heavier stages)
+    K2 = 20
+
+    def looped2(op, init):
+        @jax.jit
+        def run(init):
+            return jax.lax.fori_loop(0, K2, lambda i, x: op(x), init)
+        return run
+
+    from seaice_tpu.transport import remap as R
+    tree = model.tree
+    fields0 = R.to_transport_fields(tree, tr0)
+    coc = model.tensors.mesh.cells_on_cell
+    cocm = model.tensors.mesh.cells_on_cell_mask
+    uq, vq = u * 0.01, v * 0.01
+
+    def op_recon(fields):
+        mask_cell, masks = R.make_masks(tree, fields)
+        recon = R.reconstruct_fields(tree, fields, masks, mask_cell, rt,
+                                     coc, cocm, monotonic=True)
+        leaf = recon["iceAreaCategory"]["center"]
+        return {k: v + 1e-30 * jnp.sum(leaf) for k, v in fields.items()}
+
+    run = looped2(lambda f: op_recon(f), fields0)
+    rec("remap_reconstruct_ms", timeit(
+        run, fields0, n=5,
+        fetch=lambda o: float(o["iceAreaCategory"][0, 0])) * 1e3 / K2)
+
+    dpx0, dpy0 = R.departure_points(uq, vq, 600.0)
+
+    def op_tris(carry):
+        dpx, dpy = carry
+        tris = R.find_departure_triangles(rt, dpx, dpy,
+                                          mesh.vertex_degree)
+        s = jnp.sum(tris["mask_edge"])
+        return dpx + 1e-30 * s, dpy
+
+    run = looped2(op_tris, (dpx0, dpy0))
+    rec("remap_triangles_ms", timeit(
+        run, (dpx0, dpy0), n=5,
+        fetch=lambda o: float(o[0][0])) * 1e3 / K2)
+
+    tris0 = R.find_departure_triangles(rt, dpx0, dpy0,
+                                       mesh.vertex_degree)
+    cell0, xq0, yq0, areaq0 = R.triangles_to_cell_coords(rt, tris0)
+    mask_cell0, masks0 = R.make_masks(tree, fields0)
+    recon0 = R.reconstruct_fields(tree, fields0, masks0, mask_cell0,
+                                  rt, coc, cocm, monotonic=True)
+
+    def op_flux(carry):
+        xq, yq = carry
+        fluxes = R.integrate_fluxes(tree, recon0, rt, cell0, xq, yq,
+                                    areaq0, tris0["mask_edge"])
+        s = jnp.sum(fluxes["iceAreaCategory"])
+        return xq + 1e-30 * s, yq
+
+    run = looped2(op_flux, (xq0, yq0))
+    rec("remap_flux_integrate_ms", timeit(
+        run, (xq0, yq0), n=5,
+        fetch=lambda o: float(o[0][0, 0, 0])) * 1e3 / K2)
+
+    def op_coords(carry):
+        dpx, dpy = carry
+        tris = R.find_departure_triangles(rt, dpx, dpy,
+                                          mesh.vertex_degree)
+        cell, xq, yq, areaq = R.triangles_to_cell_coords(rt, tris)
+        s = jnp.sum(xq) + jnp.sum(areaq)
+        return dpx + 1e-30 * s, dpy
+
+    run = looped2(op_coords, (dpx0, dpy0))
+    rec("remap_tris_plus_coords_ms", timeit(
+        run, (dpx0, dpy0), n=5,
+        fetch=lambda o: float(o[0][0])) * 1e3 / K2)
+
+    fluxes0 = R.integrate_fluxes(tree, recon0, rt, cell0, xq0, yq0,
+                                 areaq0, tris0["mask_edge"])
+
+    def op_update(fields):
+        nf = R.update_mass_and_tracers(tree, fields, fluxes0, rt,
+                                       model.tensors.area_cell)
+        nf = R.zap_small_mass(tree, nf)
+        return {k: fields[k] + 1e-30 * jnp.sum(nf[k])
+                for k in fields}
+
+    run = looped2(op_update, fields0)
+    rec("remap_update_ms", timeit(
+        run, fields0, n=5,
+        fetch=lambda o: float(o["iceAreaCategory"][0, 0])) * 1e3 / K2)
+
     print(json.dumps(report, indent=1))
 
 

@@ -93,7 +93,19 @@ class RemapGeometry:
 
     def tensors(self, dtype=jnp.float64) -> "RemapTensors":
         m = self
+        # Precompute the shared-vertex local coordinates per (edge,
+        # cell-slot k, vertexOnEdge): the runtime then never gathers
+        # x_local/vertex_on_cell_remap by data-dependent indices — the
+        # slot choice becomes a one-hot contraction over k (see
+        # remap.triangles_to_cell_coords).
+        coc_r = np.maximum(m.cells_on_edge_remap, 0)        # [nE, 6]
+        vocr = np.maximum(m.vertex_on_cell_remap, 0)        # [nE, 6, 2]
+        ok = (m.cells_on_edge_remap >= 0)[..., None]        # [nE, 6, 1]
+        xl = np.where(ok, m.x_local[coc_r[:, :, None], vocr], 0.0)
+        yl = np.where(ok, m.y_local[coc_r[:, :, None], vocr], 0.0)
+        xy_local_oer = np.stack([xl, yl], axis=-1)          # [nE, 6, 2, 2]
         return RemapTensors(
+            xy_local_on_edge_remap=jnp.asarray(xy_local_oer, dtype),
             remap_edge=jnp.asarray(m.remap_edge, dtype),
             cells_on_edge_remap=jnp.asarray(
                 np.maximum(m.cells_on_edge_remap, 0), jnp.int32),
@@ -148,6 +160,9 @@ class RemapTensors:
     x_local: Any
     y_local: Any
     edge_to_cell_rot: Any
+    # [nEdges, 6, 2 (vertexOnEdge), 2 (x,y)] shared-vertex cell-frame
+    # coordinates per remap cell slot (gather-free runtime lookup)
+    xy_local_on_edge_remap: Any = None
 
     def tree_flatten(self):
         fields = [f.name for f in dataclasses.fields(self)]

@@ -266,26 +266,45 @@ def triangles_to_cell_coords(rt: RemapTensors, tris: dict):
     Planar: translation via the shared vertex, robust across periodic
     seams: offset = xLocal(cell, sharedVertex) - xVertexOnEdge(sharedVertex).
     Returns (cell [nE,S], xq, yq [nE,S,6], area [nE,S]).
+
+    TPU note: the slot choice is data-dependent, but all the per-slot
+    tables (cell index, mask, rotation, shared-vertex coordinates) are
+    static per (edge, k) — so instead of take-along-axis row gathers
+    (measured ~36 ms at 28k cells: per-index cost dominates the whole
+    remap), the lookup is a ONE-HOT CONTRACTION over the K=6 cell slots:
+    exact (one term is 1.0, the rest 0.0) and pure vector math.
     """
     cell_slot = tris["cell_slot"]                     # [nE, S]
-    e_idx = jnp.arange(cell_slot.shape[0])[:, None]
-    cell = rt.cells_on_edge_remap[e_idx, cell_slot]   # [nE, S]
-    cmask = rt.cells_on_edge_remap_mask[e_idx, cell_slot]
-    voe_i = jnp.asarray(_VOE_IDX)[None, :]            # [1, S]
-    lvi = rt.vertex_on_cell_remap[e_idx, cell_slot, voe_i]  # local idx
+    dtype = tris["tri_x"].dtype
+    K = rt.cells_on_edge_remap.shape[1]
+    hi = jax.lax.Precision.HIGHEST                    # exact f32 contraction
+    oh_b = cell_slot[..., None] == jnp.arange(K, dtype=cell_slot.dtype)
+    onehot = oh_b.astype(dtype)                       # [nE, S, K]
+    cell = jnp.sum(jnp.where(oh_b, rt.cells_on_edge_remap[:, None, :], 0),
+                   axis=-1)                           # [nE, S] int32
+    cmask = jnp.einsum("esk,ek->es", onehot,
+                       rt.cells_on_edge_remap_mask, precision=hi)
     # rotate edge-frame vectors (relative to the shared vertex) into the
     # cell frame, then translate: on planar meshes the rotation is the
     # identity; on the sphere it is the precomputed tangent-frame
     # rotation (replaces reference shift_vertices basis transforms)
-    R = rt.edge_to_cell_rot[e_idx, cell_slot]         # [nE, S, 2, 2]
-    vx = rt.x_vertex_on_edge[e_idx, voe_i]            # shared vertex
-    vy = rt.y_vertex_on_edge[e_idx, voe_i]
+    R = jnp.einsum("esk,ekij->esij", onehot,
+                   rt.edge_to_cell_rot, precision=hi)   # [nE, S, 2, 2]
+    xyv = jnp.einsum("esk,ekvx->esvx", onehot,
+                     rt.xy_local_on_edge_remap, precision=hi)
+    voe1 = jnp.asarray(_VOE_IDX == 1)[None, :]        # [1, S] static
+    x0 = jnp.where(voe1, xyv[:, :, 1, 0], xyv[:, :, 0, 0])
+    y0 = jnp.where(voe1, xyv[:, :, 1, 1], xyv[:, :, 0, 1])
+    vx = jnp.where(voe1, rt.x_vertex_on_edge[:, 1:2],
+                   rt.x_vertex_on_edge[:, 0:1])       # shared vertex
+    vy = jnp.where(voe1, rt.y_vertex_on_edge[:, 1:2],
+                   rt.y_vertex_on_edge[:, 0:1])
     dx = tris["tri_x"] - vx[..., None]
     dy = tris["tri_y"] - vy[..., None]
     rx = R[..., 0, 0, None] * dx + R[..., 0, 1, None] * dy
     ry = R[..., 1, 0, None] * dx + R[..., 1, 1, None] * dy
-    tx = rt.x_local[cell, lvi][..., None] + rx
-    ty = rt.y_local[cell, lvi][..., None] + ry
+    tx = x0[..., None] + rx
+    ty = y0[..., None] + ry
     # quadrature points: barycentric combination of the 3 vertices
     xq = jnp.einsum("qk,esk->esq", rt.qp_coeffs, tx)
     yq = jnp.einsum("qk,esk->esq", rt.qp_coeffs, ty)
