@@ -75,6 +75,9 @@ class VelocitySolverConfig:
     use_surface_tilt: bool = True
     geostrophic_surface_tilt: bool = True
     ocean_stress_type: OceanStressType = OceanStressType.QUADRATIC
+    # fused Pallas subcycle kernel on raster-quad meshes
+    # (dynamics/pallas_evp.py): None = auto-enable when eligible
+    use_pallas_subcycle: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

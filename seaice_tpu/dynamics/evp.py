@@ -213,7 +213,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          halo_exchange_cell_field=None,
                          halo_exchange_vertex_field=None,
                          min_dv_edge: float = None,
-                         raster=None):
+                         raster=None,
+                         use_pallas: bool = False):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -233,6 +234,10 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     min_dv_edge: global minimum edge length (needed for revised EVP; the
     reference computes it with an MPI min-reduction at init,
     constitutive_relation.F:133-162).
+    use_pallas: run the elastic subcycle loop as ONE fused Pallas kernel
+    (dynamics/pallas_evp.py) — caller asserts eligibility (raster quad
+    mesh, cell-constant basis, f32-or-interpret); requires standard EVP,
+    quadratic ocean stress, identity vertex halos.
     dyn: optional; if given, returns a convenience wrapper with dyn bound
     via partial application of the first argument (still traced).
 
@@ -251,6 +256,26 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         raise NotImplementedError(
             "mixed weak/variational strain and stress-divergence schemes "
             "are not supported; choose one scheme for both")
+
+    fused_subcycle = None
+    if use_pallas:
+        if (use_weak or relation != ConstitutiveRelation.EVP or
+                raster is None or v_cfg.include_metric_terms or
+                v_cfg.average_variational_strains or
+                not v_cfg.use_ocean_stress or
+                v_cfg.ocean_stress_type != OceanStressType.QUADRATIC or
+                halo_exchange_vertex is not None):
+            raise ValueError(
+                "use_pallas requires a raster-quad mesh, standard EVP, "
+                "quadratic ocean stress, no metric terms, and identity "
+                "vertex halos (single device)")
+        from .pallas_evp import build_pallas_subcycle
+        fused_subcycle = build_pallas_subcycle(
+            raster, dt_elastic=dt_e, damping_timescale=damping_t,
+            n_subcycles=v_cfg.elastic_subcycle_number)
+        if fused_subcycle is None:
+            raise ValueError("raster layout ineligible for the fused "
+                             "Pallas subcycle kernel")
 
     if halo_exchange_vertex is None:
         def halo_exchange_vertex(u, v):
@@ -466,7 +491,20 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         # a regular quad grid (mesh/structured.py); planar only
         use_raster = (use_fast and raster is not None and not metric)
 
-        if use_fast:
+        if fused_subcycle is not None:
+            # ONE Pallas kernel runs all subcycles with u/v and the
+            # corner stresses VMEM-resident (dynamics/pallas_evp.py)
+            ft = dyn.fast
+            u, v, t11, t22, t12 = fused_subcycle(
+                ft.basis_grad_T[:, 0, :, 0], ft.basis_grad_T[:, 1, :, 0],
+                ft.basis_int_T[:, 0, :, 0], ft.basis_int_T[:, 1, :, 0],
+                u, v, s11.T, s22.T, s12.T, pressure,
+                solve_stress.astype(dtype), uo_v, vo_v, mass_vertex,
+                mass_f, air_u, air_v, tilt_u, tilt_v, ocean_u, ocean_v,
+                solve_velocity.astype(dtype), area_vertex,
+                ft.denominator.astype(dtype))
+            s11, s22, s12 = t11.T, t22.T, t12.T
+        elif use_fast:
             # transposed (cell-minor) layout; see variational_fast.py
             from . import variational_fast as vf
             ss_T = solve_stress[None, :]

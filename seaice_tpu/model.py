@@ -180,6 +180,45 @@ class SeaIceModel:
 
     # -- step ----------------------------------------------------------------
 
+    def _pallas_subcycle_eligible(self, raster, halo_exchange_vertex) -> bool:
+        """Resolve config.velocity.use_pallas_subcycle (None = auto).
+
+        The fused Pallas subcycle kernel (dynamics/pallas_evp.py) needs a
+        planar raster-quad mesh with a cell-constant basis, standard EVP
+        with quadratic ocean stress, single device, and f32 on TPU (the
+        CPU path runs in interpret mode at any dtype)."""
+        want = self.cfg.velocity.use_pallas_subcycle
+        if want is False:
+            return False
+        v = self.cfg.velocity
+        from .config import (ConstitutiveRelation, OceanStressType,
+                             StrainScheme)
+        from .dynamics.pallas_evp import basis_is_cell_constant
+        fast = self.tensors.dynamics.fast
+        eligible = (
+            raster is not None and not getattr(raster, "periodic", False)
+            and halo_exchange_vertex is None
+            and v.strain_scheme == StrainScheme.VARIATIONAL
+            and v.constitutive_relation == ConstitutiveRelation.EVP
+            and not v.include_metric_terms
+            and not v.average_variational_strains
+            and v.use_ocean_stress
+            and v.ocean_stress_type == OceanStressType.QUADRATIC
+            and fast is not None and basis_is_cell_constant(fast)
+            and (self.dtype == jnp.float32
+                 or jax.default_backend() != "tpu")
+            # auto mode targets TPU only; CPU (interpret-mode) runs must
+            # opt in explicitly — interpret emulation is slow and is for
+            # correctness tests
+            and (want is True or jax.default_backend() == "tpu"))
+        if want is True and not eligible:
+            raise ValueError(
+                "use_pallas_subcycle=True but the configuration is "
+                "ineligible (needs raster-quad mesh, cell-constant basis, "
+                "standard EVP, quadratic ocean stress, single device, and "
+                "f32 on TPU)")
+        return eligible
+
     def make_step(self, halo_exchange_vertex=None, jit: bool = True):
         """Build step(tensors, state, forcing) -> (state, diags).
 
@@ -188,11 +227,14 @@ class SeaIceModel:
         cfg = self.cfg
         tree = self.tree
         from .mesh.structured import detect_raster_quad
+        raster = detect_raster_quad(self.mesh)
         vel_step = evp.make_velocity_solver(
             cfg, halo_exchange_vertex=halo_exchange_vertex,
             min_dv_edge=float(np.min(self.mesh.dv_edge[
                 self.mesh.dv_edge > 0])),
-            raster=detect_raster_quad(self.mesh))
+            raster=raster,
+            use_pallas=self._pallas_subcycle_eligible(
+                raster, halo_exchange_vertex))
         use_remap = (cfg.advection.advection_type ==
                      AdvectionType.INCREMENTAL_REMAP)
         use_upwind = (cfg.advection.advection_type ==
