@@ -86,6 +86,64 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
 
 
 @pytree_dataclass
+class SubcycleOverlap:
+    """Subset tensors for the interior/boundary comm-compute overlap.
+
+    Under sharding, the per-subcycle halo exchange is on the critical
+    path: every vertex of the next iteration waits on the ppermute
+    (reference: the MPI exchange per elastic subcycle,
+    velocity_solver.F:2546-2584; SURVEY section 5 calls for the
+    interior/boundary split).  These tensors let the subcycle body
+    compute next-iteration velocities at the EXPORT vertices first —
+    through a small redundant strain->stress->divergence->momentum
+    pipeline over only the cells adjacent to them — so the ppermute of
+    the export buffer is issued before, and is data-independent of, the
+    full-grid pipeline; XLA's latency-hiding scheduler can then overlap
+    the collective with the interior compute."""
+    export_idx: Any        # [nE] local owned vertex ids (0-padded)
+    ec_idx: Any            # [nEc] local cell ids adjacent to exports
+    voc_T_E: Any           # [me, nEc] corner vertex ids
+    voc_mask_T_E: Any      # [me, nEc]
+    basis_grad_T_E: Any    # [me(b), 2, me(g), nEc]
+    basis_int_T_E: Any     # [me(s), 2, me(j), nEc]
+    flat_corner_idx_E: Any  # [vd, nE] = pos_in_ec*me + cva
+    cov_mask_E: Any        # [vd, nE]
+
+
+def build_subcycle_overlap(mesh: Mesh, fast,
+                           vertex_export_idx: np.ndarray,
+                           dtype=jnp.float32) -> SubcycleOverlap:
+    """Host-side subset extraction from a block's FastTensors."""
+    me = mesh.max_edges
+    E = np.asarray(vertex_export_idx, np.int64)
+    cov = np.asarray(mesh.cells_on_vertex)[E]          # [nE, vd]
+    ec = np.unique(cov[cov >= 0])
+    if len(ec) == 0:
+        ec = np.zeros(1, np.int64)
+    pos = np.full(mesh.n_cells, 0, np.int64)
+    pos[ec] = np.arange(len(ec))
+
+    voc_T = np.asarray(fast.voc_T)
+    voc_mask_T = np.asarray(fast.voc_mask_T)
+    bg = np.asarray(fast.basis_grad_T)
+    bi = np.asarray(fast.basis_int_T)
+    cva = np.asarray(mesh.cell_vertices_at_vertex)[E]  # [nE, vd]
+    ok = (cov >= 0) & (cva >= 0)
+    flat = pos[np.where(ok, cov, 0)] * me + np.where(ok, cva, 0)
+
+    return SubcycleOverlap(
+        export_idx=jnp.asarray(E, jnp.int32),
+        ec_idx=jnp.asarray(ec, jnp.int32),
+        voc_T_E=jnp.asarray(voc_T[:, ec], jnp.int32),
+        voc_mask_T_E=jnp.asarray(voc_mask_T[:, ec], dtype),
+        basis_grad_T_E=jnp.asarray(bg[..., ec], dtype),
+        basis_int_T_E=jnp.asarray(bi[..., ec], dtype),
+        flat_corner_idx_E=jnp.asarray(flat.T, jnp.int32),
+        cov_mask_E=jnp.asarray(ok.T, dtype),
+    )
+
+
+@pytree_dataclass
 class VelocitySolverState:
     """Prognostic state of the velocity solver."""
     u_velocity: Any              # [nVertices]
@@ -214,7 +272,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          halo_exchange_vertex_field=None,
                          min_dv_edge: float = None,
                          raster=None,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False,
+                         halo_overlap=None):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -238,6 +297,14 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     (dynamics/pallas_evp.py) — caller asserts eligibility (raster quad
     mesh, cell-constant basis, f32-or-interpret); requires standard EVP,
     quadratic ocean stress, identity vertex halos.
+    halo_overlap: (SubcycleOverlap, exchange_from_buf, n_owned) for the
+    sharded interior/boundary comm-compute overlap: next-iteration
+    velocities at the export vertices are computed first through a small
+    subset pipeline, the halo collective is issued on that buffer, and
+    the full-grid pipeline runs concurrently (the collective is
+    data-independent of it).  Requires standard EVP on the fast path
+    without metric terms; mutually exclusive with halo_exchange_vertex
+    being the subcycle exchange (pass the identity there).
     dyn: optional; if given, returns a convenience wrapper with dyn bound
     via partial application of the first argument (still traced).
 
@@ -491,7 +558,107 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         # a regular quad grid (mesh/structured.py); planar only
         use_raster = (use_fast and raster is not None and not metric)
 
-        if fused_subcycle is not None:
+        if halo_overlap is not None:
+            # --- interior/boundary split: overlap the per-subcycle halo
+            # collective with the full-grid compute (SURVEY section 5) ---
+            if (use_weak or metric or not use_fast or
+                    relation != ConstitutiveRelation.EVP or
+                    v_cfg.average_variational_strains):
+                raise ValueError(
+                    "halo_overlap requires the fast variational path "
+                    "with standard EVP and no metric terms")
+            ov, exchange_from_buf, n_owned = halo_overlap
+            from . import variational_fast as vf
+            ft = dyn.fast
+            E = ov.export_idx
+            # loop-invariant subset fields
+            pE = pressure[ov.ec_idx][None, :]
+            ssE = solve_stress[ov.ec_idx][None, :]
+            mvE, mfE = mass_vertex[E], mass_f[E]
+            uoE, voE = uo_v[E], vo_v[E]
+            auE, avE = air_u[E], air_v[E]
+            tuE, tvE = tilt_u[E], tilt_v[E]
+            ouE, ovE = ocean_u[E], ocean_v[E]
+            svE = solve_velocity[E]
+            avertE = area_vertex[E]
+            denE = ft.denominator[E]
+            ss_T = solve_stress[None, :]
+            p_T = pressure[None, :]
+            nEc = ov.ec_idx.shape[0]
+            me_ = ov.voc_T_E.shape[0]
+
+            def export_pipeline(u, v, t11, t22, t12):
+                """strain -> stress -> divergence -> momentum on the
+                export-adjacent subset only (same arithmetic as the full
+                kernels, restricted to ec_idx / export_idx)."""
+                uv = jnp.stack([u, v], axis=-1)
+                g = uv[ov.voc_T_E] * ov.voc_mask_T_E[..., None]
+                u_c, v_c = g[..., 0], g[..., 1]
+                gx = ov.basis_grad_T_E[:, 0]
+                gy = ov.basis_grad_T_E[:, 1]
+                e11 = (u_c[:, None, :] * gx).sum(0)
+                e22 = (v_c[:, None, :] * gy).sum(0)
+                e12 = 0.5 * ((u_c[:, None, :] * gy).sum(0) +
+                             (v_c[:, None, :] * gx).sum(0))
+                n11, n22, n12, _ = constitutive.evp_stress_update(
+                    t11[:, ov.ec_idx], t22[:, ov.ec_idx],
+                    t12[:, ov.ec_idx], e11, e22, e12, pE, dt_e,
+                    damping_t)
+                n11 = jnp.where(ssE > 0, n11, t11[:, ov.ec_idx])
+                n22 = jnp.where(ssE > 0, n22, t22[:, ov.ec_idx])
+                n12 = jnp.where(ssE > 0, n12, t12[:, ov.ec_idx])
+                bu = ov.basis_int_T_E[:, 0]
+                bv = ov.basis_int_T_E[:, 1]
+                pu = (n11[:, None, :] * bu).sum(0) + \
+                    (n12[:, None, :] * bv).sum(0)
+                pv = (n22[:, None, :] * bv).sum(0) + \
+                    (n12[:, None, :] * bu).sum(0)
+                stacked = jnp.stack([pu, pv], axis=-1)   # [me, nEc, 2]
+                flat = jnp.moveaxis(stacked, 0, 1).reshape(nEc * me_, 2)
+                gg = flat[ov.flat_corner_idx_E] * ov.cov_mask_E[..., None]
+                du = -gg[..., 0].sum(0)
+                dv = -gg[..., 1].sum(0)
+                du = jnp.where(svE > 0, du / denE, 0.0)
+                dv = jnp.where(svE > 0, dv / denE, 0.0)
+                uE, vE = u[E], v[E]
+                oc = c.ICE_OCEAN_DRAG * c.DENSITY_SEAWATER * avertE * \
+                    jnp.sqrt((uoE - uE) ** 2 + (voE - vE) ** 2)
+                oc = jnp.where(svE > 0, oc, 0.0)
+                return solve_velocity_evp(
+                    uE, vE, mvE, mfE, du, dv, auE, avE, tuE, tvE,
+                    ouE, ovE, oc, svE)
+
+            def body(_, carry):
+                u, v, t11, t22, t12 = carry
+                # phase 1: export vertices first -> issue the collective
+                uEn, vEn = export_pipeline(u, v, t11, t22, t12)
+                halo_uv = exchange_from_buf(
+                    jnp.stack([uEn, vEn], axis=-1))
+                # phase 2: full-grid pipeline (independent of the
+                # collective -> XLA overlaps them)
+                e11, e22, e12 = vf.strain_tensor_T(ft, u, v, False)
+                n11, n22, n12, _ = constitutive.evp_stress_update(
+                    t11, t22, t12, e11, e22, e12, p_T, dt_e, damping_t)
+                t11 = jnp.where(ss_T > 0, n11, t11)
+                t22 = jnp.where(ss_T > 0, n22, t22)
+                t12 = jnp.where(ss_T > 0, n12, t12)
+                div_u, div_v = vf.stress_divergence_T(
+                    ft, t11, t22, t12, solve_velocity, False)
+                u, v = momentum_update(u, v, div_u, div_v)
+                # phase 3: assemble — owner values at export vertices
+                # take the phase-1 results (bitwise-consistent with what
+                # the neighbours received), halo takes the collective
+                u = jnp.concatenate(
+                    [u[:n_owned].at[E].set(uEn), halo_uv[..., 0]])
+                v = jnp.concatenate(
+                    [v[:n_owned].at[E].set(vEn), halo_uv[..., 1]])
+                return (u, v, t11, t22, t12)
+
+            u, v, t11, t22, t12 = jax.lax.fori_loop(
+                0, v_cfg.elastic_subcycle_number, body,
+                (u, v, s11.T, s22.T, s12.T))
+            s11, s22, s12 = t11.T, t22.T, t12.T
+        elif fused_subcycle is not None:
             # ONE Pallas kernel runs all subcycles with u/v and the
             # corner stresses VMEM-resident (dynamics/pallas_evp.py)
             ft = dyn.fast

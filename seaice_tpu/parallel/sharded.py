@@ -49,15 +49,21 @@ class HaloMaps:
     cell_owned_mask: Any          # [nCellsOwned]
     vertex_halo_color: Any        # [nVertexHalo] ppermute round index
     cell_halo_color: Any          # [nCellHalo]
+    overlap: Optional[Any] = None  # evp.SubcycleOverlap (stacked) or None
+
+
+def _gather_halo(buf, src_shard, src_idx):
+    """Halo values from an export buffer via all_gather: every shard
+    ships its exports everywhere, receivers address (shard, slot)."""
+    allbuf = jax.lax.all_gather(buf, AXIS)        # [S, nExport, ...]
+    return allbuf[src_shard, src_idx]             # [nHalo, ...]
 
 
 def _exchange(field, export_idx, src_shard, src_idx, n_owned):
     """Refresh a field's halo entries: all_gather each shard's export
     buffer, then place the addressed entries into the halo slots.
     field: [nLocal, ...]; returns same shape."""
-    buf = field[export_idx]                       # [nExport, ...]
-    allbuf = jax.lax.all_gather(buf, AXIS)        # [S, nExport, ...]
-    halo = allbuf[src_shard, src_idx]             # [nHalo, ...]
+    halo = _gather_halo(field[export_idx], src_shard, src_idx)
     return jnp.concatenate([field[:n_owned], halo], axis=0)
 
 
@@ -107,15 +113,21 @@ def _exchange_perm(field, export_idx, src_idx, halo_color, n_owned,
     permutations with K ~ the neighbor degree, so traffic is
     K x nExport and each round is a single-hop ICI ppermute. Values
     delivered are bitwise identical to the all_gather path."""
-    buf = field[export_idx]                       # [nExport, ...]
-    halo_shape = (halo_color.shape[0],) + field.shape[1:]
-    halo = jnp.zeros(halo_shape, field.dtype)
-    mshape = (-1,) + (1,) * (field.ndim - 1)
+    halo = _perm_halo(field[export_idx], src_idx, halo_color, perms)
+    return jnp.concatenate([field[:n_owned], halo], axis=0)
+
+
+def _perm_halo(buf, src_idx, halo_color, perms):
+    """Halo values from an export buffer via edge-colored ppermute
+    rounds (see _exchange_perm). buf: [nExport, ...]."""
+    halo_shape = (halo_color.shape[0],) + buf.shape[1:]
+    halo = jnp.zeros(halo_shape, buf.dtype)
+    mshape = (-1,) + (1,) * (buf.ndim - 1)
     for ci, perm in enumerate(perms):
         recv = jax.lax.ppermute(buf, AXIS, perm)
         mask = (halo_color == ci).reshape(mshape)
         halo = jnp.where(mask, recv[src_idx], halo)
-    return jnp.concatenate([field[:n_owned], halo], axis=0)
+    return halo
 
 
 class ShardedSeaIceModel:
@@ -124,13 +136,33 @@ class ShardedSeaIceModel:
 
     def __init__(self, mesh: Mesh, cfg: Config, n_shards: int,
                  dtype=jnp.float64, devices=None,
-                 halo_mode: str = "ring"):
+                 halo_mode: str = "ring", overlap: bool = False):
         """halo_mode: 'ring' (neighbor ppermutes, default) or
-        'allgather' (every shard ships its exports everywhere)."""
+        'allgather' (every shard ships its exports everywhere).
+        overlap: interior/boundary split so the per-subcycle halo
+        collective is data-independent of the full-grid compute and an
+        async-collective backend (TPU ICI) can overlap the two
+        (auto-disabled for configs the split does not support: weak
+        scheme, metric terms, revised EVP).  Off by default: on the CPU
+        backend collectives are synchronous thread rendezvous, so the
+        reordering cannot help there (measured: allgather +28% from the
+        redundant boundary recompute; ring pathological) — enable for
+        multi-chip TPU runs."""
         self.global_mesh = mesh
         self.cfg = cfg
         self.dtype = dtype
         self.halo_mode = halo_mode
+        from ..config import (ConstitutiveRelation, StrainScheme,
+                              StressDivergenceScheme)
+        v = cfg.velocity
+        self.overlap_enabled = (
+            overlap and v.use_velocity_solver
+            and v.strain_scheme == StrainScheme.VARIATIONAL
+            and v.stress_divergence_scheme ==
+            StressDivergenceScheme.VARIATIONAL
+            and v.constitutive_relation == ConstitutiveRelation.EVP
+            and not v.include_metric_terms
+            and not v.average_variational_strains)
         self.part = partition_mesh(mesh, n_shards)
         self.n_shards = n_shards
         if devices is None:
@@ -174,7 +206,36 @@ class ShardedSeaIceModel:
         c_col = [colors(b.cell_halo_src_shard, halo_valid(b)[0], s)
                  for s, b in enumerate(self.part.blocks)]
 
+        overlap_stacked = None
+        if self.overlap_enabled:
+            ovs = [evp.build_subcycle_overlap(
+                       b.mesh, self.models[s].tensors.dynamics.fast,
+                       b.vertex_export_idx, dtype)
+                   for s, b in enumerate(self.part.blocks)]
+            # pad the per-block export-adjacent cell sets to a common
+            # size so the pytrees stack on the shard axis
+            nec_max = max(o.ec_idx.shape[0] for o in ovs)
+
+            def padc(a, axis):
+                if a.shape[axis] == nec_max:
+                    return a
+                w = [(0, 0)] * a.ndim
+                w[axis] = (0, nec_max - a.shape[axis])
+                return jnp.pad(a, w)
+
+            from ..utils.pytree import replace as pt_replace
+            ovs = [pt_replace(o,
+                              ec_idx=padc(o.ec_idx, 0),
+                              voc_T_E=padc(o.voc_T_E, 1),
+                              voc_mask_T_E=padc(o.voc_mask_T_E, 1),
+                              basis_grad_T_E=padc(o.basis_grad_T_E, 3),
+                              basis_int_T_E=padc(o.basis_int_T_E, 3))
+                   for o in ovs]
+            overlap_stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *ovs)
+
         self.halo = HaloMaps(
+            overlap=overlap_stacked,
             vertex_halo_color=stack(v_col),
             cell_halo_color=stack(c_col),
             vertex_export_idx=stack(
@@ -304,11 +365,26 @@ class ShardedSeaIceModel:
 
             exchange_vertex_field = ex_vertex
 
+            halo_overlap = None
+            if self.overlap_enabled and halo.overlap is not None:
+                if self.halo_mode == "ring":
+                    def exchange_from_buf(buf):
+                        return _perm_halo(
+                            buf, halo.vertex_halo_src_idx,
+                            halo.vertex_halo_color, self.halo_perms)
+                else:
+                    def exchange_from_buf(buf):
+                        return _gather_halo(
+                            buf, halo.vertex_halo_src_shard,
+                            halo.vertex_halo_src_idx)
+                halo_overlap = (halo.overlap, exchange_from_buf, n_v_own)
+
             vel_step = evp.make_velocity_solver(
                 cfg, halo_exchange_vertex=exchange_vertex_uv,
                 halo_exchange_cell_field=exchange_cell,
                 halo_exchange_vertex_field=exchange_vertex_field,
-                min_dv_edge=self.part.min_dv_edge)
+                min_dv_edge=self.part.min_dv_edge,
+                halo_overlap=halo_overlap)
 
             tr = dict(state.tracers)
             vel = state.velocity
@@ -462,7 +538,10 @@ def dryrun(n_devices: int) -> None:
                             pond_scheme="lvl", kstrength=1))
     mesh = box.box_test_mesh(10, 10)
     mesh.f_vertex = box.box_coriolis_parameter(mesh)
-    model = ShardedSeaIceModel(mesh, cfg, n_devices, dtype=jnp.float32)
+    # overlap=True: the dryrun also validates the interior/boundary
+    # comm-compute split compiles and runs under shard_map
+    model = ShardedSeaIceModel(mesh, cfg, n_devices, dtype=jnp.float32,
+                               overlap=True)
     (area, vol, snow, extra, atm, ocn,
      coszen) = full_physics_inputs(mesh, cfg, jnp.float32)
     state = model.init_state(area, vol, snow)

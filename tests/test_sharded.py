@@ -202,6 +202,37 @@ def test_ring_matches_allgather_bitwise():
         assert len(set(dsts)) == len(dsts)
 
 
+def test_overlap_matches_no_overlap():
+    """The interior/boundary comm-compute overlap (evp.SubcycleOverlap)
+    must not change the answer: the export vertices' velocities are
+    computed through a subset pipeline with identical arithmetic, so
+    trajectories agree with the non-overlapped exchange to roundoff."""
+    cfg, mesh, area, vol, snow = _problem(nx=16, subcycles=8)
+    outs = {}
+    for ov in (True, False):
+        sm = ShardedSeaIceModel(mesh, cfg, 4, dtype=jnp.float64,
+                                overlap=ov)
+        assert sm.overlap_enabled == ov
+        sstate = sm.init_state(area, vol, snow)
+        sforcing = sm.scatter_forcing(
+            lambda m: box.box_forcing(m, t=0.0))
+        sstep = sm.make_step()
+        out = sstate
+        for _ in range(3):
+            out, _ = sstep(sm.tensors, sm.halo, out, sforcing)
+        u, v = sm.gather_velocity(out)
+        outs[ov] = (u, v, sm.gather_tracers(out))
+    scale = np.abs(outs[False][0]).max()
+    assert scale > 0
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               atol=1e-12 * scale)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               atol=1e-12 * scale)
+    for k in outs[True][2]:
+        np.testing.assert_allclose(outs[True][2][k], outs[False][2][k],
+                                   atol=1e-12, err_msg=k)
+
+
 def test_sharded_full_physics_matches_single_device():
     """Full physics (mushy thermo + dEdd + level ponds + Rothrock
     strength + remap + ridging) under shard_map must match the
