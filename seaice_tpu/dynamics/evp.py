@@ -78,7 +78,10 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
         variational_denominator=jnp.asarray(vb.variational_denominator,
                                             dtype),
         tan_lat_vertex=jnp.asarray(vb.tan_lat_vertex_over_radius, dtype),
-        weak=build_weak_tensors(mesh, dtype) if use_weak else None,
+        weak=build_weak_tensors(
+            mesh, dtype,
+            rotate_cartesian_grid=cfg.velocity.rotate_cartesian_grid)
+        if use_weak else None,
         fast=fast,
         area_cell=jnp.asarray(mesh.area_cell, dtype),
         area_triangle=jnp.asarray(mesh.area_triangle, dtype),
