@@ -99,6 +99,11 @@ class ColumnFluxes:
     Cdn_atm: Any               # neutral atm drag (form drag) or None
     Cdn_ocn: Any               # neutral ocn drag (form drag) or None
     bgc: Any                   # BGC diagnostics dict or None
+    # per-cell warning masks (True = problem), the column warning
+    # buffer analog (reference ice_warnings.F90 + the per-cell abort
+    # dump, mpas_seaice_column.F:1872-1939); keys like
+    # 'thermo_unconverged' with [*, nCat] bool arrays
+    warnings: Any = None
 
 
 # Tracer classification: conserved-base groups used by the ITD remap,
@@ -560,7 +565,8 @@ class ColumnPhysics:
             albedo_vis_dif=agg(sw.alvdf), albedo_ir_dif=agg(sw.alidf),
             fpond=fpond / dt, faero_ocn=faero_ocn,
             Cdn_atm=Cdn_atm, Cdn_ocn=Cdn_ocn,
-            bgc=bgc_diags if bgc_diags else None)
+            bgc=bgc_diags if bgc_diags else None,
+            warnings={"thermo_unconverged": ~tv.converged})
 
         return _merge_tracers(tracers, aicen2, vicen2, vsnon2, at2, it2,
                               st2), fluxes

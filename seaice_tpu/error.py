@@ -40,22 +40,69 @@ def write_abort_dump(run_dir: str, state: State, timestamp: str,
     return path
 
 
+def write_cell_failure_dump(run_dir: str, state: State, cell_idx,
+                            reason: str, timestamp: str,
+                            max_cells: int = 32) -> str:
+    """Per-cell failure dump: the FULL column state of the failing
+    cells (every tracer sliced at those cells) plus the warning
+    reason — the analog of the reference's column warning buffer and
+    per-cell state print on abort (ice_warnings.F90;
+    mpas_seaice_column.F:1872-1939 prints lat/lon and all category
+    tracers of the failing cell)."""
+    os.makedirs(run_dir, exist_ok=True)
+    cell_idx = np.asarray(cell_idx)[:max_cells]
+    fields = {"cell_index": cell_idx,
+              "reason": np.array(reason)}
+    tracers = jax.device_get(state.tracers)
+    # sharded states carry a leading shard axis; flatten it so the cell
+    # index addresses the stacked (shard*localCell) dimension
+    sharded = np.asarray(tracers["iceAreaCategory"]).ndim == 3
+    for name, arr in tracers.items():
+        a = np.asarray(arr)
+        if sharded:
+            a = a.reshape((-1,) + a.shape[2:])
+        fields["tracer_" + name] = a[cell_idx]
+    path = os.path.join(run_dir, f"cell_failure.{timestamp}.npz")
+    np.savez(path, **fields)
+    return path
+
+
 def raise_on_failed_checks(checks: Dict[str, Any], state: State,
                            timestamp: str,
-                           run_dir: Optional[str] = None) -> None:
+                           run_dir: Optional[str] = None,
+                           cell_masks: Optional[Dict[str, Any]] = None
+                           ) -> None:
     """Host abort gate for checks already computed on-device (inside
-    the jitted step — the per-step seaice_check_state analog)."""
+    the jitted step — the per-step seaice_check_state analog).
+
+    cell_masks: optional {check_name: per-cell bool 'problem' mask}
+    for checks with per-cell attribution (column warnings); failing
+    cells get a dedicated full-column dump."""
     checks = jax.device_get(checks)
     if bool(np.all(checks["ok"])):
         return
     failed = [k for k, v in checks.items()
               if k != "ok" and not bool(np.all(v))]
     dump = None
+    cell_dumps = []
     if run_dir is not None:
         dump = write_abort_dump(run_dir, state, timestamp, failed)
+        if cell_masks:
+            for name in failed:
+                if name not in cell_masks:
+                    continue
+                mask = np.asarray(jax.device_get(cell_masks[name]))
+                while mask.ndim > 1:       # [*, nCat, ...] -> per cell
+                    mask = mask.any(-1)
+                idx = np.nonzero(mask.reshape(-1))[0]
+                if len(idx):
+                    cell_dumps.append(write_cell_failure_dump(
+                        run_dir, state, idx, name, timestamp))
     raise SeaIceAbort(
         f"critical state-check failure at {timestamp}: {failed}"
-        + (f" (state dumped to {dump})" if dump else ""), dump)
+        + (f" (state dumped to {dump})" if dump else "")
+        + (f" (failing cells dumped to {cell_dumps})"
+           if cell_dumps else ""), dump)
 
 
 def check_critical_error(state: State, timestamp: str,

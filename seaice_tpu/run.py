@@ -171,7 +171,19 @@ class StandaloneRunner:
                                    day_of_year=day_of_year,
                                    lat=lat)
             checks = check_state(state)
-            return state, diags, checks
+            # column warning buffer -> abort gate with per-cell
+            # attribution (reference ice_warnings.F90 + the cell dump
+            # at mpas_seaice_column.F:1872-1939)
+            cell_masks = {}
+            fl = diags.get("column_fluxes")
+            if fl is not None and getattr(fl, "warnings", None):
+                for name, mask in fl.warnings.items():
+                    key = "column_" + name
+                    ok = ~mask.any()
+                    checks[key] = ok
+                    checks["ok"] = checks["ok"] & ok
+                    cell_masks[key] = mask
+            return state, diags, checks, cell_masks
 
         return jax.jit(fn)
 
@@ -200,10 +212,12 @@ class StandaloneRunner:
                            self.ocean.snapshot(self.clock).items()}
 
             with self.timers.time("timestep"):
-                self.state, diags, checks = self._device_step(
-                    model.tensors, self.state, sixh, monthly, ocn_raw,
-                    jnp.asarray(self.clock.seconds_today, d),
-                    jnp.asarray(float(self.clock.day_of_year), d))
+                self.state, diags, checks, cell_masks = \
+                    self._device_step(
+                        model.tensors, self.state, sixh, monthly,
+                        ocn_raw,
+                        jnp.asarray(self.clock.seconds_today, d),
+                        jnp.asarray(float(self.clock.day_of_year), d))
                 jax.block_until_ready(self.state.velocity.u_velocity)
 
             self.clock.advance(dt)
@@ -212,7 +226,8 @@ class StandaloneRunner:
                 from .error import raise_on_failed_checks
                 raise_on_failed_checks(
                     checks, self.state, self.clock.timestamp(),
-                    run_dir=self.streams.restart_dir)
+                    run_dir=self.streams.restart_dir,
+                    cell_masks=cell_masks)
 
             if self.streams.output is not None and \
                     self._out_alarm.is_ringing(self.clock):

@@ -1,5 +1,6 @@
 """State checks, conservation monitor, regional stats, timers."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -89,3 +90,74 @@ def test_abort_dump(tmp_path):
     assert os.path.exists(ei.value.dump_path)
     z = np.load(ei.value.dump_path)
     assert "velocity.u_velocity" in z.files
+
+
+def test_column_warning_cell_dump(tmp_path):
+    """Column warnings with per-cell attribution: the failing cells'
+    FULL column state is dumped (the reference warning-buffer +
+    per-cell abort dump, ice_warnings.F90 /
+    mpas_seaice_column.F:1872-1939)."""
+    import pytest
+    from seaice_tpu.error import SeaIceAbort, raise_on_failed_checks
+
+    model, state = _state()
+    ncat = state.tracers["iceAreaCategory"].shape[1]
+    mask = np.zeros(state.tracers["iceAreaCategory"].shape, bool)
+    mask[5, 0] = True
+    mask[17, ncat - 1] = True
+    checks = {"ok": jnp.array(False),
+              "column_thermo_unconverged": jnp.array(False)}
+    with pytest.raises(SeaIceAbort) as ei:
+        raise_on_failed_checks(
+            checks, state, "0001-01-01_02:00:00", str(tmp_path),
+            cell_masks={"column_thermo_unconverged": jnp.asarray(mask)})
+    import glob
+    dumps = glob.glob(str(tmp_path / "cell_failure.*.npz"))
+    assert len(dumps) == 1
+    z = np.load(dumps[0])
+    np.testing.assert_array_equal(sorted(z["cell_index"]), [5, 17])
+    assert str(z["reason"]) == "column_thermo_unconverged"
+    # every tracer's full column state present for the failing cells
+    for name in state.tracers:
+        key = "tracer_" + name
+        assert key in z.files, key
+        np.testing.assert_allclose(
+            z[key][list(z["cell_index"]).index(5)],
+            np.asarray(state.tracers[name][5]))
+
+
+def test_healthy_column_step_has_clean_warnings():
+    """A sane full-physics step reports an all-clear warning buffer
+    (and the warnings ride the ColumnFluxes so the runner's abort gate
+    sees them)."""
+    from seaice_tpu.parallel.sharded import full_physics_inputs
+    from seaice_tpu.config import Config, RunConfig, ColumnConfig, \
+        VelocitySolverConfig
+    from seaice_tpu.testcases import box as boxtc
+    from seaice_tpu.utils.pytree import replace as pt_replace
+
+    cfg = Config(
+        run=RunConfig(dt=1800.0, n_categories=3, n_ice_layers=4),
+        velocity=VelocitySolverConfig(
+            elastic_subcycle_number=4, rotate_cartesian_grid=False,
+            include_metric_terms=False, geostrophic_surface_tilt=False),
+        column=ColumnConfig())
+    mesh = boxtc.box_test_mesh(8, 8)
+    mesh.f_vertex = boxtc.box_coriolis_parameter(mesh)
+    model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    (area, vol, snow, extra, atm, ocn,
+     coszen) = full_physics_inputs(mesh, cfg, jnp.float64)
+    state = model.init_state(area, vol, snow)
+    tr = dict(state.tracers)
+    for k, v in extra.items():
+        tr[k] = jnp.asarray(v)
+    state = pt_replace(state, tracers=tr)
+    forcing = boxtc.box_forcing(mesh, t=0.0)
+    step = model.make_step()
+    atm = jax.tree.map(jnp.asarray, atm)
+    ocn = jax.tree.map(jnp.asarray, ocn)
+    state, diags = step(model.tensors, state, forcing, atm, ocn,
+                        coszen=jnp.asarray(coszen))
+    w = diags["column_fluxes"].warnings
+    assert "thermo_unconverged" in w
+    assert not bool(np.asarray(w["thermo_unconverged"]).any())
