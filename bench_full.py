@@ -1,0 +1,171 @@
+"""Full-physics global benchmark: the north-star workload.
+
+QU120km-scale quasi-uniform global hex mesh (icosahedral subdiv 6,
+40,962 cells, ~160 km), 5 categories, 7 ice layers, FULL physics:
+mushy thermodynamics (ktherm=2), delta-Eddington shortwave, level-ice
+ponds, Rothrock strength, EVP 120 subcycles (variational/Wachspress),
+full-tracer incremental remapping, ridging — the configuration VERDICT
+round 1 asked the bench to cover (hex gathers + full tracer hierarchy
+are the expensive cases).
+
+Measurement: slope of scan-chained steps (see bench.py) — one device
+dispatch per chain, so the remote-tunnel per-call overhead (~35 ms)
+does not pollute the sustained-throughput number.
+
+Prints one JSON line per measured config.
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def build(subdiv=6, n_subcycles=120, dt=1800.0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seaice_tpu.config import (AdvectionConfig, ColumnConfig, Config,
+                                   RunConfig, VelocitySolverConfig)
+    from seaice_tpu.column.driver import AtmosForcing, OceanForcing
+    from seaice_tpu.column.driver import slab_ocean_frzmlt
+    from seaice_tpu.column.thermo_shared import (
+        ice_enthalpy_from_temperature, melting_temperature,
+        salinity_profile, snow_enthalpy_from_temperature)
+    from seaice_tpu.dynamics.evp import DynamicsForcing
+    from seaice_tpu.mesh import icosahedral_mesh
+    from seaice_tpu.mesh.rotation import latlon_vector_rotation_forward
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.utils.pytree import replace
+
+    dtype = jnp.float32
+    mesh = icosahedral_mesh(subdiv)
+    cfg = Config(
+        run=RunConfig(dt=dt, n_categories=5, n_ice_layers=7),
+        velocity=VelocitySolverConfig(
+            elastic_subcycle_number=n_subcycles,
+            rotate_cartesian_grid=True, include_metric_terms=True,
+            geostrophic_surface_tilt=False),
+        advection=AdvectionConfig(),
+        column=ColumnConfig(ktherm=2, shortwave="dEdd",
+                            pond_scheme="lvl", kstrength=1))
+    model = SeaIceModel(mesh, cfg, dtype=dtype)
+
+    nc, ncat, ni, ns = mesh.n_cells, 5, 7, 1
+    polar = np.abs(mesh.lat_cell) > np.deg2rad(65.0)
+    h = model.column.hin_max
+    mids = 0.5 * (h[:-1] + np.minimum(h[1:], 10.0))
+    area = np.where(polar[:, None], 0.9 / ncat, 0.0) * np.ones((1, ncat))
+    state = model.init_state(area, area * mids, area * 0.05)
+    S = salinity_profile(ni)
+    has = area[..., None] > 0
+    tr = dict(state.tracers)
+    tr["surfaceTemperature"] = jnp.asarray(
+        np.where(area > 0, -15.0, 0.0), dtype)
+    tr["iceEnthalpy"] = ice_enthalpy_from_temperature(
+        jnp.asarray(np.where(has, -10.0, 0.0) * np.ones((nc, ncat, ni)),
+                    dtype),
+        melting_temperature(
+            jnp.asarray(np.tile(S, (nc, ncat, 1)), dtype))) * has
+    tr["iceSalinity"] = jnp.asarray(np.tile(S, (nc, ncat, 1)),
+                                    dtype) * has
+    tr["snowEnthalpy"] = snow_enthalpy_from_temperature(
+        jnp.asarray(-12.0 * np.ones((nc, ncat, ns)), dtype)) * has
+    state = replace(state, tracers=tr)
+
+    lat, lon = mesh.lat_cell, mesh.lon_cell
+    u_t = 6.0 * np.cos(lat) + 2.0 * np.sin(lon)
+    v_t = 1.5 * np.sin(2 * lon)
+    uw, vw = latlon_vector_rotation_forward(
+        u_t, v_t, mesh.x_cell, mesh.y_cell, mesh.z_cell)
+    one = np.ones(nc)
+    z = jnp.zeros((nc,), dtype)
+    dyn = DynamicsForcing(
+        u_air_velocity=jnp.asarray(uw, dtype),
+        v_air_velocity=jnp.asarray(vw, dtype),
+        air_density=jnp.full((nc,), 1.3, dtype),
+        u_ocean_velocity=z, v_ocean_velocity=z,
+        sea_surface_tilt_u=z, sea_surface_tilt_v=z,
+        land_ice_mask=z)
+    t_air = 288.0 - 45.0 * np.sin(np.abs(lat)) ** 2
+    atm = AtmosForcing(
+        air_temperature=t_air, specific_humidity=4e-4 * one,
+        u_air=np.asarray(uw), v_air=np.asarray(vw),
+        longwave_down=180.0 * one,
+        sw_vis_dir=30.0 * one, sw_vis_dif=20.0 * one,
+        sw_ir_dir=25.0 * one, sw_ir_dif=15.0 * one,
+        rain_rate=0.0 * one, snow_rate=2e-6 * one,
+        air_density=1.3 * one, air_level_height=10.0 * one)
+    sst = np.where(polar, -1.7, 8.0)
+    Tf = np.full(nc, -1.8)
+    import jax
+    ocn = OceanForcing(
+        sst=sst, sss=34.0 * one, freezing_temperature=Tf,
+        frzmlt=np.asarray(slab_ocean_frzmlt(
+            jnp.asarray(sst, dtype), jnp.asarray(Tf, dtype),
+            jnp.full((nc,), 20.0, dtype), dt)),
+        mixed_layer_depth=20.0 * one)
+    atm = jax.tree.map(lambda x: jnp.asarray(x, dtype), atm)
+    ocn = jax.tree.map(lambda x: jnp.asarray(x, dtype), ocn)
+    coszen = jnp.asarray(np.clip(np.cos(lat - 0.3), 0.0, 1.0), dtype)
+    return model, state, (dyn, atm, ocn, coszen)
+
+
+def measure(subdiv=6, n_subcycles=120, n_iters=5, k_short=2, k_long=8):
+    import jax
+    import jax.numpy as jnp
+
+    model, state, (dyn, atm, ocn, coszen) = build(subdiv, n_subcycles)
+    step = model.make_step()
+
+    def chain(k):
+        @jax.jit
+        def run(tensors, state):
+            def body(s, _):
+                s2, _d = step(tensors, s, dyn, atm, ocn, coszen=coszen)
+                return s2, 0.0
+            s, _ = jax.lax.scan(body, state, None, length=k)
+            return s
+        return run
+
+    def timed(run):
+        s = run(model.tensors, state)
+        float(jnp.abs(s.velocity.u_velocity).max())   # tunnel sync
+        ts = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            s = run(model.tensors, state)
+            float(jnp.abs(s.velocity.u_velocity).max())
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    t_short = timed(chain(k_short))
+    t_long = timed(chain(k_long))
+    dt_step = max(t_long - t_short, 1e-9) / (k_long - k_short)
+    return model.mesh.n_cells, dt_step
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdiv", type=int, default=6)
+    ap.add_argument("--subcycles", type=int, default=120)
+    args = ap.parse_args()
+    nc, dt_step = measure(args.subdiv, args.subcycles)
+    print(json.dumps({
+        "metric": "global_full_physics_cells_subcycles_per_s",
+        "config": f"icos subdiv={args.subdiv} ({nc} cells), 5 cat, "
+                  "7 layers, mushy+dEdd+lvl ponds+Rothrock, EVP "
+                  f"{args.subcycles} subcyc, full-tracer IR, ridging",
+        "ms_per_step": round(dt_step * 1e3, 2),
+        "value": round(nc * args.subcycles / dt_step, 1),
+        "unit": "cells*subcycles/s/chip",
+    }))
+
+
+if __name__ == "__main__":
+    main()
