@@ -44,6 +44,7 @@ class DynamicsTensors:
     fast: Optional[Any]          # transposed-layout subcycle tensors
     area_cell: Any               # [nCells]
     area_triangle: Any           # [nVertices]
+    panel: Optional[Any] = None  # panel-shift tensors (icosahedral)
 
 
 def build_dynamics_tensors(mesh: Mesh, cfg: Config,
@@ -68,7 +69,15 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
     fast = None
     if not use_weak:
         fast = build_fast_tensors(mesh, vb, dtype)
+    # panel-shift tensors when the mesh carries a rhombic-panel layout
+    # (mesh/panels.panel_reorder attaches it)
+    panel = None
+    lay = getattr(mesh, "panel_layout", None)
+    if lay is not None and not use_weak and mesh.max_edges == 6:
+        from .variational_panel import build_panel_tensors
+        panel = build_panel_tensors(mesh, lay, vb, dtype)
     return DynamicsTensors(
+        panel=panel,
         mesh=mesh.tensors(dtype),
         basis_gradient_u=jnp.asarray(vb.basis_gradient_u, dtype),
         basis_gradient_v=jnp.asarray(vb.basis_gradient_v, dtype),
@@ -276,7 +285,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          min_dv_edge: float = None,
                          raster=None,
                          use_pallas: bool = False,
-                         halo_overlap=None):
+                         halo_overlap=None,
+                         panel_n: Optional[int] = None):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -560,6 +570,10 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         # structured raster shifts replace the gathers when the mesh is
         # a regular quad grid (mesh/structured.py); planar only
         use_raster = (use_fast and raster is not None and not metric)
+        # rhombic-panel shifts on icosahedral global meshes
+        # (mesh/panels.py + dynamics/variational_panel.py)
+        use_panel = (use_fast and panel_n is not None and
+                     dyn.panel is not None)
 
         if halo_overlap is not None:
             # --- interior/boundary split: overlap the per-subcycle halo
@@ -680,9 +694,22 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             ss_T = solve_stress[None, :]
             p_T = pressure[None, :]
 
+            if use_panel:
+                from . import variational_panel as vpn
+                # cell fields live in the padded layout on this path
+                zc = jnp.zeros(
+                    (dyn.panel.basis_grad_S.shape[-1],), dtype)
+                ss_T = zc.at[dyn.panel.cell_pad_idx].set(
+                    solve_stress)[None, :]
+                p_T = zc.at[dyn.panel.cell_pad_idx].set(
+                    pressure)[None, :]
+
             def body(_, carry):
                 u, v, t11, t22, t12 = carry
-                if use_raster:
+                if use_panel:
+                    e11, e22, e12 = vpn.strain_tensor_P(
+                        dyn.panel, panel_n, u, v, metric)
+                elif use_raster:
                     e11, e22, e12 = vf.strain_tensor_S(
                         dyn.fast, raster, u, v)
                 else:
@@ -704,7 +731,11 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 t11 = jnp.where(ss_T > 0, n11, t11)
                 t22 = jnp.where(ss_T > 0, n22, t22)
                 t12 = jnp.where(ss_T > 0, n12, t12)
-                if use_raster:
+                if use_panel:
+                    div_u, div_v = vpn.stress_divergence_P(
+                        dyn.panel, panel_n, t11, t22, t12,
+                        solve_velocity, metric)
+                elif use_raster:
                     div_u, div_v = vf.stress_divergence_S(
                         dyn.fast, raster, t11, t22, t12,
                         solve_velocity)
@@ -715,9 +746,19 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 u, v = halo_exchange_vertex(u, v)
                 return (u, v, t11, t22, t12)
 
+            t11_0, t22_0, t12_0 = s11.T, s22.T, s12.T
+            if use_panel:
+                # loop state is slot-indexed on the panel path
+                t11_0 = vpn.stress_ring_to_slot(dyn.panel, t11_0)
+                t22_0 = vpn.stress_ring_to_slot(dyn.panel, t22_0)
+                t12_0 = vpn.stress_ring_to_slot(dyn.panel, t12_0)
             u, v, t11, t22, t12 = jax.lax.fori_loop(
                 0, v_cfg.elastic_subcycle_number, body,
-                (u, v, s11.T, s22.T, s12.T))
+                (u, v, t11_0, t22_0, t12_0))
+            if use_panel:
+                t11 = vpn.stress_slot_to_ring(dyn.panel, t11)
+                t22 = vpn.stress_slot_to_ring(dyn.panel, t22)
+                t12 = vpn.stress_slot_to_ring(dyn.panel, t12)
             s11, s22, s12 = t11.T, t22.T, t12.T
         else:
             def body(_, carry):

@@ -472,3 +472,92 @@ def build_panel_layout(mesh, subdivisions: int) -> PanelLayout:
         ghost_pu_src=np.array(gp_src, np.int64).reshape(-1, 2),
         exception_cells=exception_cells,
     )
+
+
+def permute_mesh(mesh, cell_new_of_old: np.ndarray,
+                 vertex_new_of_old: np.ndarray):
+    """Relabel the mesh's cells and vertices by the given permutations
+    (new_of_old maps).  Edges keep their ids; derived vertex tables are
+    rebuilt by finalize()."""
+    c_old_of_new = np.argsort(cell_new_of_old)
+    v_old_of_new = np.argsort(vertex_new_of_old)
+
+    def pc(a):
+        return None if a is None else a[c_old_of_new]
+
+    def pv(a):
+        return None if a is None else a[v_old_of_new]
+
+    def rc(a):
+        if a is None:
+            return None
+        return np.where(a >= 0, cell_new_of_old[np.maximum(a, 0)],
+                        -1).astype(a.dtype)
+
+    def rv(a):
+        if a is None:
+            return None
+        return np.where(a >= 0, vertex_new_of_old[np.maximum(a, 0)],
+                        -1).astype(a.dtype)
+
+    m = dataclasses.replace(
+        mesh,
+        vertices_on_cell=rv(pc(mesh.vertices_on_cell)),
+        n_edges_on_cell=pc(mesh.n_edges_on_cell),
+        cells_on_vertex=rc(pv(mesh.cells_on_vertex)),
+        edges_on_cell=pc(mesh.edges_on_cell),
+        cells_on_cell=rc(pc(mesh.cells_on_cell)),
+        cells_on_edge=rc(mesh.cells_on_edge),
+        vertices_on_edge=rv(mesh.vertices_on_edge),
+        edges_on_vertex=pv(mesh.edges_on_vertex),
+        x_cell=pc(mesh.x_cell), y_cell=pc(mesh.y_cell),
+        z_cell=pc(mesh.z_cell),
+        x_vertex=pv(mesh.x_vertex), y_vertex=pv(mesh.y_vertex),
+        z_vertex=pv(mesh.z_vertex),
+        lat_cell=pc(mesh.lat_cell), lon_cell=pc(mesh.lon_cell),
+        lat_vertex=pv(mesh.lat_vertex), lon_vertex=pv(mesh.lon_vertex),
+        area_cell=pc(mesh.area_cell),
+        area_triangle=pv(mesh.area_triangle),
+        kite_areas_on_vertex=pv(mesh.kite_areas_on_vertex),
+        f_vertex=pv(mesh.f_vertex), f_cell=pc(mesh.f_cell),
+        cell_vertices_at_vertex=None,
+        interior_vertex=None,
+    )
+    return m.finalize()
+
+
+def panel_reorder(mesh, subdivisions: int):
+    """Relabel an icosahedral mesh into panel-major order and rebase
+    the layout: cell id = p*N^2 + i*N + j (poles last), vertex id =
+    ((p*N + i)*N + j)*2 + t.  Returns (mesh, PanelLayout) with all
+    layout tables expressed in the new ids."""
+    lay = build_panel_layout(mesh, subdivisions)
+    N = lay.N
+    cell_new = np.empty(mesh.n_cells, np.int64)
+    cell_new[lay.cell_slot.reshape(-1)] = np.arange(10 * N * N)
+    cell_new[lay.pole_cells] = 10 * N * N + np.arange(2)
+    vert_new = np.empty(mesh.n_vertices, np.int64)
+    vert_new[lay.vert_slot.reshape(-1)] = np.arange(mesh.n_vertices)
+    m2 = permute_mesh(mesh, cell_new, vert_new)
+
+    so = np.full((mesh.n_cells, lay.slot_of_ring.shape[1]), -1,
+                 np.int64)
+    so[cell_new] = lay.slot_of_ring
+    lay2 = PanelLayout(
+        N=N, n_cells=mesh.n_cells, n_vertices=mesh.n_vertices,
+        cell_slot=cell_new[lay.cell_slot],
+        pole_cells=cell_new[lay.pole_cells],
+        vert_slot=vert_new[lay.vert_slot],
+        slot_of_ring=so,
+        cell_of=lay.cell_of[np.argsort(cell_new)],
+        vert_of=lay.vert_of[np.argsort(vert_new)],
+        ghost_vert_pos=lay.ghost_vert_pos,
+        ghost_vert_id=vert_new[lay.ghost_vert_id],
+        ghost_pu_pos=lay.ghost_pu_pos,
+        ghost_pu_src=np.stack(
+            [cell_new[lay.ghost_pu_src[:, 0]],
+             lay.ghost_pu_src[:, 1]], axis=1),
+        exception_cells=np.sort(cell_new[lay.exception_cells]),
+    )
+    m2.panel_layout = lay2       # picked up by build_dynamics_tensors
+    return m2, lay2

@@ -228,13 +228,18 @@ class SeaIceModel:
         tree = self.tree
         from .mesh.structured import detect_raster_quad
         raster = detect_raster_quad(self.mesh)
+        lay = getattr(self.mesh, "panel_layout", None)
+        panel_n = (lay.N if lay is not None
+                   and self.tensors.dynamics.panel is not None
+                   and halo_exchange_vertex is None else None)
         vel_step = evp.make_velocity_solver(
             cfg, halo_exchange_vertex=halo_exchange_vertex,
             min_dv_edge=float(np.min(self.mesh.dv_edge[
                 self.mesh.dv_edge > 0])),
             raster=raster,
             use_pallas=self._pallas_subcycle_eligible(
-                raster, halo_exchange_vertex))
+                raster, halo_exchange_vertex),
+            panel_n=panel_n)
         use_remap = (cfg.advection.advection_type ==
                      AdvectionType.INCREMENTAL_REMAP)
         use_upwind = (cfg.advection.advection_type ==
