@@ -42,7 +42,9 @@ def build(subdiv=6, n_subcycles=120, dt=1800.0):
     from seaice_tpu.utils.pytree import replace
 
     dtype = jnp.float32
-    mesh = icosahedral_mesh(subdiv)
+    from seaice_tpu.mesh.panels import panel_reorder
+    # panel order enables the shift-based EVP kernels on the sphere
+    mesh, _lay = panel_reorder(icosahedral_mesh(subdiv), subdiv)
     cfg = Config(
         run=RunConfig(dt=dt, n_categories=5, n_ice_layers=7),
         velocity=VelocitySolverConfig(

@@ -546,53 +546,98 @@ def triangle_monomial_integrals(rt: RemapTensors, xq, yq,
 def integrate_fluxes(tree: TracerTree, recon, rt: RemapTensors,
                      cell, xq, yq, area, mask_edge):
     """Edge fluxes of mass and mass*tracer products.
-    Returns dict name -> flux [nEdges, nCat(, nLayers)]."""
-    me = mask_edge[:, None]
+    Returns dict name -> flux [nEdges, nCat(, nLayers)].
+
+    TPU layout: gathers run along the LEADING cell axis with all
+    (category, coefficient) data flattened into the minor axis — the
+    natural gather-major layout — and the coefficient contraction is a
+    minor-axis reduce.  Trailing-axis gathers or [nE,S,nCat,M]-shaped
+    intermediates provoke XLA layout copies that cost more than the
+    whole integration (measured 4x between formulations)."""
+    nE, S = cell.shape
+    X = nE * S
+    cellf = cell.reshape(-1)                         # [X]
+    areaf = area.reshape(-1)                         # [X]
     max_depth = max(tree.depth(s.name) for s in tree.specs)
     mom, terms = triangle_monomial_integrals(rt, xq, yq,
                                              max_degree=max_depth + 1)
     term_idx = {m: i for i, m in enumerate(terms)}
-    # shifted-moment lookup for the 3D path: index of monomial*x, *y
+    W = mom.reshape(X, len(terms))                   # [X, M]
+    me = mask_edge[:, None]
     fluxes = {}
     polys = {}                       # 2D tracers: coeff dicts (cellwise)
+
+    # pass 1: build every tracer's cellwise coefficient block and
+    # concatenate them — the gather indices are shared, so ONE gather
+    # moves all tracers' data (per-index cost amortized across the
+    # whole tree)
+    blocks = []                      # (name, kind, shape info, offset)
+    cat = []
+    off = 0
     for spec in tree.specs:
         r = recon[spec.name]
         c0, gx, gy = r["center"], r["gx"], r["gy"]
-        if c0.ndim == 2:                             # 2D tracer
+        if c0.ndim == 2:
             if spec.parent is None:
                 poly = {(0, 0): c0, (1, 0): gx, (0, 1): gy}
             else:
                 poly = _poly_mul_linear(polys[spec.parent], c0, gx, gy)
             polys[spec.name] = poly
-            # stack coefficients [nCells, nCat, M'] and gather once
             keys = sorted(poly.keys(), key=lambda m: term_idx[m])
-            coeff = jnp.stack([poly[k] for k in keys], axis=-1)
-            sel = jnp.asarray([term_idx[k] for k in keys])
-            g = coeff[cell]                          # [nE, S, nCat, M']
-            integral = jnp.einsum("escm,esm->esc", g, mom[..., sel])
-            flux = (integral * area[..., None]).sum(axis=1) * me
-        else:                                        # 3D layered tracer
+            nCat = c0.shape[1]
+            coeff = jnp.stack([poly[k] for k in keys],
+                              axis=-1)               # [nc, nCat, M']
+            flat = coeff.reshape(coeff.shape[0], -1)
+            blocks.append((spec.name, "2d", (nCat, keys), off))
+            off += flat.shape[1]
+            cat.append(flat)
+        else:
+            nCat, nL = c0.shape[1], c0.shape[2]
+            blocks.append((spec.name, "3d", (nCat, nL), off))
+            for a in (c0, gx, gy):
+                cat.append(a.reshape(a.shape[0], -1))
+            off += 3 * nCat * nL
+        # parent polynomial needed by 3D children even when this spec
+        # is 3D itself (3D tracers are leaves in the reference tree)
+    gathered = jnp.concatenate(cat, axis=1)[cellf]   # [X, F]
+
+    for (name, kind, info, off) in blocks:
+        if kind == "2d":
+            nCat, keys = info
+            Mp = len(keys)
+            g = gathered[:, off:off + nCat * Mp].reshape(X, nCat, Mp)
+            w = W[:, jnp.asarray([term_idx[k] for k in keys])]
+            integral = (g * w[:, None, :]).sum(-1)   # [X, nCat]
+            flux = (integral * areaf[:, None]).reshape(
+                nE, S, nCat).sum(1) * me             # [nE, nCat]
+        else:
+            nCat, nL = info
+            spec = tree.spec(name)
             ppoly = polys[spec.parent]
-            # P0/Px/Py = parent integral and its x/y-shifted moments
             keys = sorted(ppoly.keys(), key=lambda m: term_idx[m])
-            coeff = jnp.stack([ppoly[k] for k in keys], axis=-1)
-            g = coeff[cell]                          # [nE, S, nCat, Mp]
-            sel0 = jnp.asarray([term_idx[k] for k in keys])
-            selx = jnp.asarray([term_idx[(k[0] + 1, k[1])]
-                                for k in keys])
-            sely = jnp.asarray([term_idx[(k[0], k[1] + 1)]
-                                for k in keys])
-            P0 = jnp.einsum("escm,esm->esc", g, mom[..., sel0])
-            Px = jnp.einsum("escm,esm->esc", g, mom[..., selx])
-            Py = jnp.einsum("escm,esm->esc", g, mom[..., sely])
-            c3 = c0[cell]                            # [nE, S, nCat, nL]
-            gx3 = gx[cell]
-            gy3 = gy[cell]
-            integral = (c3 * P0[..., None] + gx3 * Px[..., None] +
-                        gy3 * Py[..., None])
-            flux = (integral * area[..., None, None]).sum(axis=1) \
-                * me[..., None]
-        fluxes[spec.name] = flux
+            Mp = len(keys)
+            # the parent's block was already gathered
+            poff = [b for b in blocks if b[0] == spec.parent][0][3]
+            g = gathered[:, poff:poff + nCat * Mp].reshape(X, nCat, Mp)
+            w0 = W[:, jnp.asarray([term_idx[k] for k in keys])]
+            wx = W[:, jnp.asarray([term_idx[(k[0] + 1, k[1])]
+                                   for k in keys])]
+            wy = W[:, jnp.asarray([term_idx[(k[0], k[1] + 1)]
+                                   for k in keys])]
+            P0 = (g * w0[:, None, :]).sum(-1)        # [X, nCat]
+            Px = (g * wx[:, None, :]).sum(-1)
+            Py = (g * wy[:, None, :]).sum(-1)
+            F3 = nCat * nL
+            c3 = gathered[:, off:off + F3].reshape(X, nCat, nL)
+            gx3 = gathered[:, off + F3:off + 2 * F3].reshape(
+                X, nCat, nL)
+            gy3 = gathered[:, off + 2 * F3:off + 3 * F3].reshape(
+                X, nCat, nL)
+            integral = (c3 * P0[..., None] + gx3 * Px[..., None]
+                        + gy3 * Py[..., None])       # [X, nCat, nL]
+            flux = (integral * areaf[:, None, None]).reshape(
+                nE, S, nCat, nL).sum(1) * me[..., None]
+        fluxes[name] = flux
     return fluxes
 
 
@@ -622,13 +667,27 @@ def update_mass_and_tracers(tree: TracerTree, fields, fluxes,
     eoc = rt.edges_on_cell                           # [nC, K]
     new_fields = {}
     new_products = {}
+    # ONE gather for every tracer's edge fluxes (shared indices):
+    # concat minors, gather, signed-sum over the cell's edges, split
+    shapes = {}
+    cat = []
+    off = 0
+    offs = {}
     for spec in tree.specs:
-        flux = fluxes[spec.name]
-        extra = flux.ndim - 1
-        f_e = flux[eoc]                              # [nC, K, ...]
-        sgn = _expand(rt.edge_sign_on_cell * (
-            rt.edges_on_cell_mask), extra)
-        div = (f_e * sgn).sum(axis=1) / _expand(area_cell, extra)
+        f = fluxes[spec.name]
+        shapes[spec.name] = f.shape[1:]
+        offs[spec.name] = off
+        off += int(np.prod(f.shape[1:]))
+        cat.append(f.reshape(f.shape[0], -1))
+    fluxcat = jnp.concatenate(cat, axis=1)           # [nE, F]
+    f_e = fluxcat[eoc]                               # [nC, K, F]
+    sgn2 = (rt.edge_sign_on_cell * rt.edges_on_cell_mask)[..., None]
+    divcat = (f_e * sgn2).sum(axis=1) / area_cell[:, None]   # [nC, F]
+    for spec in tree.specs:
+        sh = shapes[spec.name]
+        o = offs[spec.name]
+        div = divcat[:, o:o + int(np.prod(sh))].reshape(
+            (divcat.shape[0],) + sh)
         new_prod = products[spec.name] - div
         if spec.parent is None:
             new_fields[spec.name] = new_prod
