@@ -8,3 +8,6 @@ from .mesh_reader import read_mpas_mesh
 from .checkpoint import (save_checkpoint, load_checkpoint,
                          write_restart_timestamp, read_restart_timestamp)
 from .output import OutputStream
+from .parallel import (save_sharded_checkpoint, load_sharded_checkpoint,
+                       assemble_checkpoint, ShardedOutputStream,
+                       assemble_history)
