@@ -1,0 +1,227 @@
+"""Coupled driver: the MCT/NUOPC ModelAdvance loop.
+
+TPU-native re-design of the reference coupler drivers
+(`driver/ice_comp_mct.F`: ice_init_mct :118, ice_run_mct :1004;
+`driver_nuopc/ice_comp_nuopc.F90` ModelAdvance): the external coupler
+calls `advance(import_fields)` once per coupling interval; internally
+the ice model sub-cycles its own (shorter) timestep to the next couple
+alarm, accumulates the ocean/atmosphere fluxes over the interval, and
+returns their time means in the export dict — the reference's
+flux-averaging semantics (`seaice_column_aggregate_fluxes` feeding the
+averaged `*_av` coupler fields).
+
+TPU shape: the whole sub-loop is ONE jitted `lax.scan` — one device
+dispatch per coupling interval, with per-substep solar zenith angles
+computed on device from the traced clock scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .column.driver import ColumnFluxes
+from .coupler import EXPORT_FIELDS, IMPORT_FIELDS, export_state, import_state
+from .forcing.clock import Alarm, ModelClock
+from .model import SeaIceModel, State
+
+
+def _zero_fluxes_like(fl: ColumnFluxes) -> ColumnFluxes:
+    return jax.tree.map(jnp.zeros_like, fl)
+
+
+class CoupledDriver:
+    """Owns the clock + couple alarm; the coupler owns the forcing.
+
+    Usage (a NUOPC cap or a Python E3SM harness):
+
+        drv = CoupledDriver(model, state, coupling_interval=3600.0)
+        imports, exports = drv.advertise()        # field rosters
+        for _ in range(n_couple_steps):
+            export = drv.advance(import_fields)   # one couple interval
+
+    `coupling_interval` must be an integer multiple of the model
+    timestep (the reference requires the same of its couple alarm).
+    Output/restart alarms are serviced at couple boundaries (couple
+    interval divides the stream intervals in practice)."""
+
+    def __init__(self, model: SeaIceModel, state: State,
+                 coupling_interval: float,
+                 clock: Optional[ModelClock] = None,
+                 tfrz_option: str = "minus1p8",
+                 sst_in_kelvin: bool = False,
+                 streams=None):
+        self.model = model
+        self.state = state
+        self.clock = clock or ModelClock()
+        self.tfrz_option = tfrz_option
+        self.sst_in_kelvin = sst_in_kelvin
+        self.streams = streams
+        dt = model.cfg.run.dt
+        n_sub = coupling_interval / dt
+        if abs(n_sub - round(n_sub)) > 1e-9 or n_sub < 1:
+            raise ValueError(
+                f"coupling_interval {coupling_interval} is not an "
+                f"integer multiple of the model dt {dt}")
+        self.n_substeps = int(round(n_sub))
+        self.coupling_interval = float(coupling_interval)
+        if streams is not None:
+            self._out_alarm = Alarm(streams.output_interval)
+            self._restart_alarm = Alarm(streams.restart_interval)
+        self._advance_fn = self._build_advance()
+        self.last_fluxes: Optional[ColumnFluxes] = None
+        self.last_diags: Dict[str, Any] = {}
+
+    # -- NUOPC advertise/realize analog --------------------------------------
+
+    def advertise(self) -> Tuple[tuple, tuple]:
+        """Field rosters the cap advertises (reference
+        ice_import_export.F90:126-290)."""
+        return IMPORT_FIELDS, EXPORT_FIELDS
+
+    # -- the fused sub-loop ---------------------------------------------------
+
+    def _build_advance(self):
+        model = self.model
+        cfg = model.cfg
+        dt = cfg.run.dt
+        use_col = cfg.column.use_column_package
+        d = model.dtype
+        step_fn = model.make_step(jit=False)
+        mesh = model.mesh
+        has_latlon = getattr(mesh, "lat_cell", None) is not None
+        if has_latlon:
+            lat = jnp.asarray(mesh.lat_cell, d)
+            lon = jnp.asarray(mesh.lon_cell, d)
+        else:
+            lat = lon = None
+        from .column.orbital import compute_coszen
+        from .diagnostics import check_state
+
+        def fn(tensors, state, dyn, atmf, ocnf, sec0, doy0):
+            def body(carry, i):
+                state, acc, stress_acc = carry
+                secs = sec0 + (i + 0.5) * dt
+                doy = doy0 + jnp.floor(secs / 86400.0)
+                if has_latlon:
+                    coszen, _ = compute_coszen(lat, lon, doy,
+                                               jnp.mod(secs, 86400.0))
+                else:
+                    coszen = None
+                state, diags = step_fn(
+                    tensors, state, dyn, atmf, ocnf, coszen=coszen,
+                    day_of_year=doy, lat=lat)
+                fl = diags.get("column_fluxes")
+                if fl is not None:
+                    warn = getattr(fl, "warnings", None)
+                    fl_num = dataclasses.replace(fl, warnings=None)
+                    acc_fl, acc_warn = acc
+                    acc_fl = jax.tree.map(jnp.add, acc_fl, fl_num)
+                    if warn:
+                        acc_warn = {k: acc_warn[k] | warn[k]
+                                    for k in warn}
+                    acc = (acc_fl, acc_warn)
+                su = diags.get("ocean_stress_u")
+                sv = diags.get("ocean_stress_v")
+                if su is not None:
+                    stress_acc = (stress_acc[0] + su, stress_acc[1] + sv)
+                return (state, acc, stress_acc), 0.0
+
+            # flux accumulator template from one probe step structure
+            if use_col and atmf is not None:
+                # zero-init by running the tree structure of the first
+                # step lazily: accumulate from a zeros template built
+                # at trace time via a throwaway evaluation
+                probe_state, probe_diags = step_fn(
+                    tensors, state, dyn, atmf, ocnf,
+                    coszen=(compute_coszen(
+                        lat, lon, doy0, jnp.mod(sec0, 86400.0))[0]
+                        if has_latlon else None),
+                    day_of_year=doy0, lat=lat)
+                fl0 = probe_diags["column_fluxes"]
+                warn0 = getattr(fl0, "warnings", None)
+                acc0 = (_zero_fluxes_like(
+                    dataclasses.replace(fl0, warnings=None)),
+                    {k: jnp.zeros_like(v, bool)
+                     for k, v in (warn0 or {}).items()})
+            else:
+                acc0 = (None, {})
+            nv = state.velocity.u_velocity.shape[-1]
+            stress0 = (jnp.zeros((nv,), d), jnp.zeros((nv,), d))
+            (state, acc, stress_acc), _ = jax.lax.scan(
+                body, (state, acc0, stress0), jnp.arange(
+                    self.n_substeps, dtype=d))
+            n = float(self.n_substeps)
+            acc_fl, acc_warn = acc
+            mean_fl = (jax.tree.map(lambda x: x / n, acc_fl)
+                       if acc_fl is not None else None)
+            if mean_fl is not None:
+                mean_fl = dataclasses.replace(mean_fl, warnings=acc_warn)
+            mean_stress = (stress_acc[0] / n, stress_acc[1] / n)
+            checks = check_state(state)
+            return state, mean_fl, mean_stress, checks
+
+        return jax.jit(fn)
+
+    # -- ModelAdvance ---------------------------------------------------------
+
+    def advance(self, import_fields: Dict[str, Any]
+                ) -> Dict[str, np.ndarray]:
+        """One coupling interval: import -> sub-loop -> averaged export
+        (reference ice_run_mct :1004 / NUOPC ModelAdvance)."""
+        model = self.model
+        d = model.dtype
+        dyn, atmf, ocnf = import_state(
+            import_fields, model.cfg.run.dt, dtype=d,
+            tfrz_option=self.tfrz_option,
+            sst_in_kelvin=self.sst_in_kelvin)
+        if not model.cfg.column.use_column_package:
+            atmf = ocnf = None
+        state, mean_fl, mean_stress, checks = self._advance_fn(
+            model.tensors, self.state, dyn, atmf, ocnf,
+            jnp.asarray(self.clock.seconds_today, d),
+            jnp.asarray(float(self.clock.day_of_year), d))
+        self.state = state
+        self.clock.advance(self.coupling_interval)
+        from .error import raise_on_failed_checks
+        raise_on_failed_checks(
+            checks, self.state, self.clock.timestamp(),
+            run_dir=getattr(self.streams, "restart_dir", None))
+        self.last_fluxes = mean_fl
+        self.last_diags = {"ocean_stress_u": mean_stress[0],
+                           "ocean_stress_v": mean_stress[1]}
+        self._service_alarms()
+        return export_state(self.state, mean_fl, self.last_diags,
+                            mesh_tensors=model.tensors.mesh)
+
+    def _service_alarms(self):
+        if self.streams is None:
+            return
+        if self.streams.output is not None and \
+                self._out_alarm.is_ringing(self.clock):
+            tr = self.state.tracers
+            self.streams.output.write({
+                "iceAreaCell": np.asarray(
+                    tr["iceAreaCategory"].sum(-1)),
+                "iceVolumeCell": np.asarray(
+                    tr["iceVolumeCategory"].sum(-1)),
+                "uVelocity": np.asarray(self.state.velocity.u_velocity),
+                "vVelocity": np.asarray(self.state.velocity.v_velocity),
+            }, self.clock.timestamp())
+        if getattr(self.streams, "restart_dir", None) is not None and \
+                self._restart_alarm.is_ringing(self.clock):
+            import os
+
+            from .io.checkpoint import (save_checkpoint,
+                                        write_restart_timestamp)
+            ts = self.clock.timestamp()
+            save_checkpoint(
+                os.path.join(self.streams.restart_dir,
+                             f"restart.{ts}.npz"),
+                self.state, {"year": self.clock.year,
+                             "seconds": self.clock.seconds})
+            write_restart_timestamp(self.streams.restart_dir, ts)
