@@ -662,6 +662,11 @@ class ColumnPhysics:
             diags["chla"] = (zr.chla * aicen).sum(-1)
             diags["up_NO"] = (zr.up_NO * aicen).sum(-1)
             diags["up_NH"] = (zr.up_NH * aicen).sum(-1)
+            # ecosystem closure diagnostics (reference Zoo /
+            # nitrification history fields + the Cerror gate)
+            diags["zoo_loss"] = (zr.zoo * aicen).sum(-1)
+            diags["nitrification"] = (zr.nitrification * aicen).sum(-1)
+            diags["bgc_carbon_error"] = zr.cerror.max(-1)
 
         return at2, it2, diags
 

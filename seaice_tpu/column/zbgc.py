@@ -3,10 +3,10 @@
 TPU-native re-design of the reference zBGC stack:
 `z_biogeochemistry` (`/root/reference/src/column/ice_algae.F90:794-1497`
 — per-tracer vertical FCT advection-diffusion + reactions),
-`algal_dyn` (:1505-2309 — the reaction network), and the zbio driver
-(`:29-386`).  The brine microstructure inputs (porosity, diffusivity
-iDin, Darcy velocity) come from `brine.py` (compute_micro_s_mushy /
-update_hbrine).
+`algal_dyn` (:1505-2309 — the full reaction network), and the zbio
+driver (`:29-386`).  The brine microstructure inputs (porosity,
+diffusivity iDin, Darcy velocity) come from `brine.py`
+(compute_micro_s_mushy / update_hbrine).
 
 Redesign notes (TPU-first, not a port):
   * The reference's per-tracer flux-corrected-transport matrix plus
@@ -17,17 +17,30 @@ Redesign notes (TPU-first, not a port):
     implicit upwind advection + positivity clipping with conservative
     flux bookkeeping (the FCT anti-diffusion correction is omitted —
     first-order upwind transport, documented deviation).
-  * Reactions implement the core `algal_dyn` network: light /
-    nitrate+ammonium / silicate limited algal growth (Liebig minimum,
-    with the Dunne grazing closure and temperature-dependent
-    mortality), ammonium sources from grazing spillage / mortality /
-    respiration, nitrification, and silicate uptake
-    (ice_algae.F90:1884-2050).  DOC/DON/Fe/DMS pools of the full
-    reference network are not yet carried.
+  * Reactions implement the COMPLETE `algal_dyn` ecosystem
+    (ice_algae.F90:1505-2309): up to three autotroph classes
+    (diatoms / small plankton / phaeocystis) with per-species
+    parameters, light (with inhibition) / nitrate+ammonium / silicate
+    / iron Liebig-minimum growth, proportional-redistribution uptake
+    caps (max_loss), the Dunne grazing closure, temperature-dependent
+    mortality, ammonium sources from grazing spillage / mortality /
+    respiration, nitrification, DON (proteins) production and
+    bacterial remineralization, DOC (polysaccharids/lipids) exudation
+    and remineralization into DIC, dissolved/particulate iron
+    exchange (desorption gated by the saccharid:dFe ratio), and the
+    DMSPd -> DMS sulfur chain with Stefels oxidation.  Nitrogen is
+    conserved across {algae, Nit, Am, DON} up to the explicit `zoo`
+    closure sink and carbon up to `cerror` (both returned — the
+    reference's Zoo and Cerror/conserve_C accounting).
 
 Tracer layout: bio tracers are BRINE concentrations (mmol/m^3 of
 brine) on the nblyr+1 interface grid; total content per unit ice area
 = sum_k C_k phi_k hbr zspace_k, which the conservation checks use.
+Slot order (built by ZbgcParams flags; defaults reproduce the minimal
+[N, Nit, Am, Sil] roster):
+
+    N x n_algae | Nit | Am? | Sil? | DOC x n_doc, DIC? | DON? |
+    Fed?, Fep? | DMSPd?, DMS? | PON?
 """
 
 from __future__ import annotations
@@ -44,152 +57,403 @@ from .bgc import (SklBgcResult, SklBgcState, init_skl_bgc,
 
 SECDAY = 86400.0
 
+# reference 3-species defaults (Registry.xml; index order diatoms,
+# small plankton, phaeocystis)
+_MU_MAX = (1.44, 0.41, 0.63)          # config_maximum_growth_rate_* (1/day)
+_GROW_TDEP = (0.063, 0.063, 0.063)    # config_temperature_growth_*
+_FR_GRAZE = (0.19, 0.19, 0.19)        # config_grazed_fraction_*
+_GRAZE_EXP = (0.333, 1.0, 1.0)        # Dunne et al 2005 exponents
+_MORT_PRE = (0.007, 0.007, 0.007)     # config_mortality_* (1/day)
+_MORT_TDEP = (0.03, 0.03, 0.03)       # config_temperature_mortality_*
+_K_NIT = (1.0, 1.0, 1.0)              # config_nitrate_saturation_*
+_K_AM = (0.3, 0.3, 0.3)               # config_ammonium_saturation_*
+_K_SIL = (4.0, 0.0, 0.0)              # config_silicate_saturation_*
+_K_FE = (1.0, 0.2, 0.1)               # config_iron_saturation_*
+_R_SI2N = (1.8, 0.0, 0.0)             # config_ratio_Si_to_N_*
+_R_S2N = (0.03, 0.03, 0.03)           # config_ratio_S_to_N_*
+_R_FE2N = (0.023, 0.023, 0.7)         # config_ratio_Fe_to_N_*
+_R_C2N = (7.0, 7.0, 7.0)              # config_ratio_C_to_N_*
+_R_CHL2N = (2.1, 1.1, 0.84)           # config_ratio_chla_to_N_*
+_CHLABS = (0.03, 0.01, 0.05)          # config_chla_absorptivity_of_*
+_ALPHA2MAX = (0.3, 0.2, 0.17)         # config_light_attenuation_*
+_BETA2MAX = (0.001, 0.001, 0.04)      # config_light_inhibition_*
+_K_EXUDE = (0.0, 0.0, 0.0)            # config_exudation_* (1/day)
+# ocean concentrations (colpkg_init_ocean_conc, ice_colpkg.F90:5885)
+_OCEAN_N = (1.0, 0.0057, 0.0027)      # mmol N/m^3 (ISPOL/Lannuzel 2013)
+
 
 @dataclasses.dataclass(frozen=True)
 class ZbgcParams:
-    """Reaction parameters (reference Registry zbgc defaults:
-    config_maximum_growth_rate_diatoms=1.44/day :1043, grow_Tdep=0.063
-    :1058, fr_graze=0.19 :1073, mort_pre=0.007/day :1088,
-    mort_Tdep=0.03 :1103, K_Nit=1.0 :1133, K_Am=0.3 :1148,
-    K_Sil=4.0 :1163, R_Si2N=1.8 :893, alpha=0.3 :1013, beta=0.001
-    :1028, k_nitrif=0.046/day :1273)."""
+    """Reaction parameters and tracer roster.
+
+    Per-species values default to the reference 3-species vectors
+    (Registry.xml:893-1328), truncated to `n_algae`; scalar rates cite
+    their config names in the module-level tables above.  The roster
+    flags mirror the reference tr_bgc_* switches
+    (ice_colpkg_tracers.F90): the default roster is the minimal
+    [N x n_algae, Nit, Am, Sil]; enabling use_C/use_DON/use_Fe/use_DMS
+    /use_PON appends the corresponding pools."""
     n_algae: int = 1
-    mu_max: float = 1.44            # 1/day
-    grow_Tdep: float = 0.063        # 1/C
-    fr_graze: float = 0.19
-    graze_exponent: float = 0.333
-    graze_conc: float = 1.36        # mmol N/m^3
-    mort_pre: float = 0.007         # 1/day
-    mort_Tdep: float = 0.03         # 1/C
-    K_Nit: float = 1.0              # mmol/m^3
-    K_Am: float = 0.3
-    K_Sil: float = 4.0
-    R_Si2N: float = 1.8
-    R_chl2N: float = 2.1            # mg chla / mmol N
-    chlabs: float = 0.03            # 1/m/(mg chla/m^3)
-    alpha2max: float = 0.3          # light limitation 1/(W/m^2)
-    beta2max: float = 0.001         # light inhibition 1/(W/m^2)
-    T_max: float = 0.0
-    fsal: float = 1.0
-    fr_resp: float = 0.05
-    fr_graze_s: float = 0.5         # spilled fraction of grazing
-    fr_graze_e: float = 0.5         # excreted (to NH4) fraction
-    fr_mort2min: float = 0.9        # mortality remineralized to NH4
-    k_nitrif: float = 0.046         # 1/day
-    max_loss: float = 0.9
-    op_dep_min: float = 0.1
+    # roster flags (tr_bgc_* analogs)
+    use_Am: bool = True
+    use_Sil: bool = True
+    use_C: bool = False             # DOC x n_doc + DIC
+    use_DON: bool = False
+    use_Fe: bool = False
+    use_DMS: bool = False
+    use_PON: bool = False
+    n_doc: int = 2                  # polysaccharids, lipids
+    # per-species (length >= n_algae; reference vectors)
+    mu_max: tuple = _MU_MAX
+    grow_Tdep: tuple = _GROW_TDEP
+    fr_graze: tuple = _FR_GRAZE
+    graze_exponent: tuple = _GRAZE_EXP
+    mort_pre: tuple = _MORT_PRE
+    mort_Tdep: tuple = _MORT_TDEP
+    K_Nit: tuple = _K_NIT
+    K_Am: tuple = _K_AM
+    K_Sil: tuple = _K_SIL
+    K_Fe: tuple = _K_FE
+    R_Si2N: tuple = _R_SI2N
+    R_S2N: tuple = _R_S2N
+    R_Fe2N: tuple = _R_FE2N
+    R_C2N: tuple = _R_C2N
+    R_chl2N: tuple = _R_CHL2N
+    chlabs: tuple = _CHLABS
+    alpha2max: tuple = _ALPHA2MAX
+    beta2max: tuple = _BETA2MAX
+    k_exude: tuple = _K_EXUDE
+    # scalar rates (config names in comments)
+    graze_conc: float = 1.36        # mmol N/m^3 (Dunne 2005 fit)
+    T_max: float = 0.0              # config_maximum_brine_temperature
+    fsal: float = 1.0               # salinity restriction factor
+    fr_resp: float = 0.05           # config_respiration_fraction_of_growth
+    fr_graze_s: float = 0.5         # config_slopped_grazing_fraction
+    fr_graze_e: float = 0.5         # config_excreted_fraction
+    fr_mort2min: float = 0.9        # config_fraction_mortality_to_ammonium
+    fr_dFe: float = 1.0             # config_fraction_iron_remineralized
+    k_nitrif: float = 0.046         # config_nitrification_rate (1/day)
+    t_iron_conv: float = 3065.0     # config_desorption_loss_particulate_iron (day)
+    max_loss: float = 0.9           # config_maximum_loss_fraction
+    max_dfe_doc1: float = 0.2       # config_maximum_ratio_iron_to_saccharids
+    fr_resp_s: float = 0.9          # config_respiration_loss_to_DMSPd
+    y_sk_DMS: float = 0.7           # config_DMSP_to_DMS_conversion_fraction
+    t_sk_conv: float = 5.0          # config_DMSP_to_DMS_conversion_time (day)
+    t_sk_ox: float = 12.0           # config_DMS_oxidation_time (day)
+    kn_bac: float = 0.2             # config_degredation_of_DON (1/day)
+    f_don_Am: float = 1.0           # config_fraction_DON_ammonium
+    f_doc: tuple = (0.5, 0.5)       # config_fraction_loss_to_saccharids/lipids
+    k_bac: tuple = (0.03, 0.03)     # config_remineralization_* (1/day)
+    R_C2N_DON: float = 5.0          # config_ratio_C_to_N_proteins
+    op_dep_min: float = 0.1         # config_minimum_optical_depth
     algal_vel: float = 1.11e-8      # m/s (Lavoie 2005)
-    # ocean boundary concentrations (mmol/m^3)
-    ocean_N: float = 0.16
+    # ocean boundary concentrations (colpkg_init_ocean_conc defaults)
+    ocean_N: tuple = _OCEAN_N       # per species
     ocean_Nit: float = 12.0
     ocean_Am: float = 1.0
     ocean_Sil: float = 25.0
+    ocean_DOC: tuple = (16.2, 9.0)  # saccharides, lipids (mmol C/m^3)
+    ocean_DIC: float = 1950.0       # Tynan et al. 2015
+    ocean_DON: float = 12.9
+    ocean_Fed: float = 0.4          # nM (Tagliabue 2012)
+    ocean_Fep: float = 2.0          # nM (van der Merwe 2011)
+    ocean_DMSPd: float = 0.1
+    ocean_DMS: float = 0.1
+    ocean_PON: float = 12.0         # shadows nitrate
     initbio_frac: float = 1.0
     frazil_scav: float = 1.0
 
+    # -- roster indexing (nlt_bgc_* analog) -----------------------------------
+
+    def _roster(self):
+        """[(name, count)] in slot order."""
+        na = self.n_algae
+        r = [("N", na), ("Nit", 1)]
+        if self.use_Am:
+            r.append(("Am", 1))
+        if self.use_Sil:
+            r.append(("Sil", 1))
+        if self.use_C:
+            r.append(("DOC", self.n_doc))
+            r.append(("DIC", 1))
+        if self.use_DON:
+            r.append(("DON", 1))
+        if self.use_Fe:
+            r.append(("Fed", 1))
+            r.append(("Fep", 1))
+        if self.use_DMS:
+            r.append(("DMSPd", 1))
+            r.append(("DMS", 1))
+        if self.use_PON:
+            r.append(("PON", 1))
+        return r
+
+    def index(self) -> Dict[str, slice]:
+        out = {}
+        off = 0
+        for name, n in self._roster():
+            out[name] = slice(off, off + n)
+            off += n
+        return out
+
     @property
     def n_bio(self) -> int:
-        # [algae x n_algae, Nit, Am, Sil]
-        return self.n_algae + 3
+        return sum(n for _, n in self._roster())
+
+    def species(self, name: str) -> np.ndarray:
+        """Per-species parameter truncated to n_algae."""
+        return np.asarray(getattr(self, name)[:self.n_algae])
 
     def ocean_concentrations(self, dtype=jnp.float64):
-        vals = [self.ocean_N] * self.n_algae + \
-            [self.ocean_Nit, self.ocean_Am, self.ocean_Sil]
+        vals = []
+        for name, n in self._roster():
+            if name == "N":
+                vals += list(self.ocean_N[:self.n_algae])
+            elif name == "DOC":
+                vals += list(self.ocean_DOC[:n])
+            else:
+                vals.append(getattr(self, "ocean_" + name))
         return jnp.asarray(vals, dtype)
 
 
-class ZbgcResult(NamedTuple):
-    tracers: jnp.ndarray        # [*B, n_bio, nblyr+1] brine conc
-    flux_bio: jnp.ndarray       # [*B, n_bio] to ocean (mmol/m^2/s)
-    pp_net: jnp.ndarray         # net primary production (mmolN/m^2/s)
-    grow_net: jnp.ndarray       # specific growth (1/s)
-    up_NO: jnp.ndarray          # nitrate uptake (mmol/m^2/s)
-    up_NH: jnp.ndarray          # ammonium uptake
-    chla: jnp.ndarray           # column chlorophyll (mg/m^2)
+class ReactionResult(NamedTuple):
+    react: jnp.ndarray          # [*B, n_bio] concentration change / dt
+    grow: jnp.ndarray           # [*B] total algal growth (mmol N/m^3/s)
+    upNO: jnp.ndarray           # [*B] nitrate uptake (mmol/m^3/s)
+    upNH: jnp.ndarray           # [*B] ammonium uptake (mmol/m^3/s)
+    zoo: jnp.ndarray            # [*B] N closure sink (mmol N/m^3, Zoo)
+    nitrif: jnp.ndarray         # [*B] nitrification (mmol N/m^3)
+    cerror: jnp.ndarray         # [*B] carbon budget residual (Cerror)
 
 
-def algal_reactions(dt, C_brine, fswpen, T_bot, p: ZbgcParams):
-    """Reaction terms for one layer (reference algal_dyn
-    :1505-2309 core network).  C_brine [*B, n_bio]; fswpen [*B] the
-    penetrating shortwave in this layer; returns (react [*B, n_bio]
-    concentration change over dt, grow [*B], upNO, upNH)."""
+def algal_reactions(dt, C_brine, fswpen, T_bot,
+                    p: ZbgcParams) -> ReactionResult:
+    """The full algal_dyn reaction network for one layer (reference
+    ice_algae.F90:1505-2309), batched.  C_brine [*B, n_bio] brine
+    concentrations in the roster order of `p.index()`; fswpen [*B]
+    penetrating shortwave in this layer (W/m^2)."""
+    ix = p.index()
     na = p.n_algae
-    Nin = C_brine[..., :na]                  # algal N per class
-    Nit = C_brine[..., na]
-    Am = C_brine[..., na + 1]
-    Sil = C_brine[..., na + 2]
+    f = C_brine.dtype
 
-    chlin = p.R_chl2N * Nin
-    op_dep = p.chlabs * chlin.sum(-1)
+    def sp(name):
+        return jnp.asarray(p.species(name), f)
+
+    Nin = C_brine[..., ix["N"]]
+    Nit = C_brine[..., ix["Nit"].start]
+    Am = C_brine[..., ix["Am"].start] if p.use_Am else jnp.zeros_like(Nit)
+    Sil = (C_brine[..., ix["Sil"].start] if p.use_Sil
+           else jnp.zeros_like(Nit))
+    DOC = C_brine[..., ix["DOC"]] if p.use_C else None
+    DON = C_brine[..., ix["DON"].start] if p.use_DON else None
+    Fed = C_brine[..., ix["Fed"].start] if p.use_Fe else None
+    Fep = C_brine[..., ix["Fep"].start] if p.use_Fe else None
+    DMSPd = C_brine[..., ix["DMSPd"].start] if p.use_DMS else None
+    DMS = C_brine[..., ix["DMS"].start] if p.use_DMS else None
+
+    # light limitation through self-shading chlorophyll (:1880-1892)
+    chlin = sp("R_chl2N") * Nin
+    op_dep = (sp("chlabs") * chlin).sum(-1)
     Iavg = jnp.where(op_dep > p.op_dep_min,
                      fswpen * (1.0 - jnp.exp(-op_dep)) /
                      jnp.maximum(op_dep, c.PUNY),
                      fswpen)
-    L_lim = (1.0 - jnp.exp(-p.alpha2max * Iavg)) * \
-        jnp.exp(-p.beta2max * Iavg)
+    L_lim = (1.0 - jnp.exp(-sp("alpha2max") * Iavg[..., None])) * \
+        jnp.exp(-sp("beta2max") * Iavg[..., None])
     dTemp = jnp.minimum(T_bot - p.T_max, 0.0)
 
-    Nit_lim = Nit / (Nit + p.K_Nit)
-    Am_lim = Am / (Am + p.K_Am)
+    # nutrient limitation (:1903-1925)
+    Nit_lim = Nit[..., None] / (Nit[..., None] + sp("K_Nit"))
+    Am_lim = (Am[..., None] / (Am[..., None] + sp("K_Am"))
+              if p.use_Am else jnp.zeros_like(Nit_lim))
     N_lim = jnp.minimum(1.0, Nit_lim + Am_lim)
-    Sil_lim = Sil / (Sil + p.K_Sil)
+    K_Sil = sp("K_Sil")
+    Sil_lim = jnp.where(K_Sil > 0.0,
+                        Sil[..., None] / (Sil[..., None] +
+                                          jnp.maximum(K_Sil, c.PUNY)),
+                        1.0) if p.use_Sil else jnp.ones_like(Nit_lim)
+    K_Fe = sp("K_Fe")
+    Fe_lim = (jnp.where(K_Fe > 0.0,
+                        Fed[..., None] / (Fed[..., None] +
+                                          jnp.maximum(K_Fe, c.PUNY)),
+                        1.0) if p.use_Fe else jnp.ones_like(Nit_lim))
 
-    growmax = p.mu_max / SECDAY * \
-        jnp.exp(p.grow_Tdep * dTemp)[..., None] * Nin * p.fsal
-    lim = jnp.minimum(L_lim[..., None],
-                      jnp.minimum(N_lim[..., None], Sil_lim[..., None]))
-    grow = lim * growmax                         # mmol/m^3/s per class
-    potU_Am = Am_lim[..., None] * growmax
+    # growth and potential uptake (:1930-1949)
+    growmax = sp("mu_max") / SECDAY * \
+        jnp.exp(sp("grow_Tdep") * dTemp[..., None]) * Nin * p.fsal
+    lim = jnp.minimum(jnp.minimum(L_lim, N_lim),
+                      jnp.minimum(Sil_lim, Fe_lim))
+    grow = lim * growmax
+    potU_Am = Am_lim * growmax
     U_Am = jnp.minimum(grow, potU_Am)
     U_Nit = grow - U_Am
-    U_Sil = p.R_Si2N * grow
+    U_Sil = sp("R_Si2N") * grow
+    U_Fe = sp("R_Fe2N") * grow
 
-    # cap total uptake at max_loss of the available pool (:1952-1956)
+    # proportional-redistribution caps at max_loss of each pool
+    # (:1943-1975): totals are capped, species shares preserved
     def cap(U, pool):
         tot = U.sum(-1)
-        f = jnp.minimum(1.0, p.max_loss * pool /
-                        jnp.maximum(tot * dt, c.PUNY))
-        return U * f[..., None]
+        frac = jnp.where(tot[..., None] > 0.0,
+                         U / jnp.maximum(tot, c.PUNY)[..., None], 0.0)
+        tot_c = jnp.minimum(tot, p.max_loss * pool / dt)
+        return frac * tot_c[..., None]
 
     U_Nit = cap(U_Nit, Nit)
-    U_Am = cap(U_Am, Am)
-    U_Sil = cap(U_Sil, Sil)
-    grow = jnp.minimum(U_Nit + U_Am, U_Sil / p.R_Si2N)
-    fr_Am = jnp.where(grow > 0.0,
-                      jnp.minimum(U_Am / jnp.maximum(grow, c.PUNY),
-                                  1.0), 0.5)
+    if p.use_Am:
+        U_Am = cap(U_Am, Am)
+    if p.use_Sil:
+        U_Sil = cap(U_Sil, Sil)
+    if p.use_Fe:
+        U_Fe = cap(U_Fe, Fed)
+
+    # re-derive growth from the capped uptakes (:1977-1994)
+    R_Si2N = sp("R_Si2N")
+    R_Fe2N = sp("R_Fe2N")
+    grow = jnp.where(R_Si2N > 0.0,
+                     jnp.minimum(U_Sil / jnp.maximum(R_Si2N, c.PUNY),
+                                 U_Nit + U_Am),
+                     U_Nit + U_Am)
+    if p.use_Fe:
+        grow = jnp.minimum(grow, U_Fe / jnp.maximum(R_Fe2N, c.PUNY))
+    fr_Am = (jnp.where(grow > 0.0,
+                       jnp.minimum(U_Am / jnp.maximum(grow, c.PUNY), 1.0),
+                       0.5) if p.use_Am else jnp.zeros_like(grow))
     U_Am = fr_Am * grow
     U_Nit = (1.0 - fr_Am) * grow
-    U_Sil = p.R_Si2N * grow
+    U_Sil = R_Si2N * grow
+    U_Fe = R_Fe2N * grow
 
-    # losses (:1994-1997)
+    # losses (:1994-2015)
     resp = p.fr_resp * grow
     graze = jnp.minimum(
         p.max_loss * Nin / dt,
-        grow * p.fr_graze *
-        jnp.maximum(Nin / p.graze_conc, c.PUNY) ** p.graze_exponent)
+        grow * sp("fr_graze") *
+        jnp.maximum(Nin / p.graze_conc, c.PUNY) ** sp("graze_exponent"))
     mort = jnp.minimum(
         p.max_loss * Nin / dt,
-        p.mort_pre * jnp.exp(p.mort_Tdep * dTemp)[..., None] *
+        sp("mort_pre") * jnp.exp(sp("mort_Tdep") * dTemp[..., None]) *
         Nin / SECDAY)
 
-    dN = (grow - graze - mort - resp) * dt
+    R_C2N = sp("R_C2N")
+    dN_alg = (grow - graze - mort - resp) * dt
     graze_N = graze.sum(-1)
+    graze_C = (R_C2N * graze).sum(-1)
     mort_N = mort.sum(-1)
+    mort_C = (R_C2N * mort).sum(-1)
     resp_N = resp.sum(-1)
 
-    # ammonium sources (:2019-2023) and nitrification (:2045-2050)
-    Am_s = (resp_N + graze_N * (1.0 - p.fr_graze_s) * p.fr_graze_e +
-            mort_N * p.fr_mort2min) * dt
-    nitrif = p.k_nitrif / SECDAY * Am
-    dAm = Am_s - (U_Am.sum(-1) + nitrif) * dt
-    dNit = nitrif * dt - U_Nit.sum(-1) * dt
-    dSil = -U_Sil.sum(-1) * dt
+    # ammonium sources: excretion, remineralized mortality, respiration
+    # (:2019-2023)
+    Am_s_e = graze_N * (1.0 - p.fr_graze_s) * p.fr_graze_e * dt
+    Am_s_mo = mort_N * p.fr_mort2min * dt
+    Am_s_r = resp_N * dt
+    Am_s = Am_s_e + Am_s_mo + Am_s_r
 
-    react = jnp.concatenate(
-        [dN, dNit[..., None], dAm[..., None], dSil[..., None]],
-        axis=-1)
-    return react, grow.sum(-1), U_Nit.sum(-1), U_Am.sum(-1)
+    # nitrification (:2045-2050)
+    nitrif = p.k_nitrif / SECDAY * Am * dt
+
+    # zooplankton/bacteria closure sink Zoo (:2058-2072)
+    if p.use_Am:
+        Zoo = graze_N * dt * (1.0 - p.fr_graze_e) * (1.0 - p.fr_graze_s) \
+            + graze_N * p.fr_graze_s * dt + mort_N * dt - Am_s_mo
+    else:
+        Zoo = graze_N * dt + mort_N * dt
+
+    # DON: proteins from non-remineralized grazing + mortality,
+    # bacterial degradation to NH4 (:2078-2092)
+    dDON = None
+    DON_s = jnp.zeros_like(graze_N)
+    DON_r = jnp.zeros_like(graze_N)
+    if p.use_DON:
+        DON_r = p.kn_bac / SECDAY * DON * dt
+        DON_s = graze_N * dt - Am_s_e + mort_N * dt - Am_s_mo
+        Zoo = Zoo - DON_s + DON_r * (1.0 - p.f_don_Am)
+        Am_s = Am_s + DON_r * p.f_don_Am
+        dDON = DON_s - DON_r
+
+    # DOC: fraction of grazed/dead carbon not sent to DON, bacterial
+    # remineralization into DIC (:2098-2106); exudation (k_exude)
+    dDOC = None
+    DIC_s = jnp.zeros_like(graze_N)
+    DIC_r = jnp.zeros_like(graze_N)
+    if p.use_C:
+        f_doc = jnp.asarray(p.f_doc[:p.n_doc], f)
+        k_bac = jnp.asarray(p.k_bac[:p.n_doc], f)
+        exude_C = ((sp("k_exude") * R_C2N * Nin).sum(-1) / SECDAY) * dt
+        doc_pool = (graze_C + mort_C) * dt - DON_s * p.R_C2N_DON
+        DOC_s = f_doc * doc_pool[..., None] + exude_C[..., None] / p.n_doc
+        DOC_r = k_bac / SECDAY * DOC * dt
+        DIC_s = DOC_r.sum(-1) + DON_r * p.R_C2N_DON
+        DIC_r = ((1.0 - p.fr_resp) * grow * R_C2N).sum(-1) * dt
+        dDOC = DOC_s - DOC_r
+
+    # iron (:2110-2150): uptake from Fed, remineralization source,
+    # particulate->dissolved conversion gated by saccharid:dFe ratio
+    dFed = dFep = None
+    if p.use_Fe:
+        Fed_r = U_Fe.sum(-1) * dt
+        Fed_s = Am_s * jnp.asarray(p.R_Fe2N[0], f) * p.fr_dFe
+        Fep_s = Am_s * jnp.asarray(p.R_Fe2N[0], f) * (1.0 - p.fr_dFe)
+        Fep_r = jnp.zeros_like(Fed_r)
+        if p.use_C:
+            convert = (DOC[..., 0] > 0.0) & \
+                (Fed / jnp.maximum(DOC[..., 0], c.PUNY) < p.max_dfe_doc1)
+            Fep_r = jnp.where(convert,
+                              Fep / p.t_iron_conv / SECDAY * dt, 0.0)
+            Fed_s = Fed_s + Fep_r
+        dFed = Fed_s - Fed_r
+        dFep = Fep_s - Fep_r
+
+    # sulfur chain (:2153-2186): DMSPd from respiration + mortality,
+    # conversion to DMS (y_sk_DMS / t_sk_conv), DMS oxidation (t_sk_ox)
+    dDMSPd = dDMS = None
+    if p.use_DMS:
+        R_S2N = sp("R_S2N")
+        DMSPd_s = (p.fr_resp_s * (R_S2N * resp).sum(-1) +
+                   p.fr_mort2min * (R_S2N * mort).sum(-1)) * dt
+        DMSPd_r = DMSPd / p.t_sk_conv / SECDAY * dt
+        dDMSPd = DMSPd_s - DMSPd_r
+        dDMS = p.y_sk_DMS * DMSPd_r - DMS / p.t_sk_ox / SECDAY * dt
+
+    # assemble the reaction vector in roster order (:2190-2270)
+    dAm = Am_s - (U_Am.sum(-1) * dt + nitrif) if p.use_Am else None
+    dNit = nitrif - U_Nit.sum(-1) * dt
+    if not p.use_Am:
+        # without an ammonium pool, remineralized N returns to nitrate
+        dNit = dNit + Am_s
+    parts = [dN_alg, dNit[..., None]]
+    if p.use_Am:
+        parts.append(dAm[..., None])
+    if p.use_Sil:
+        parts.append(-U_Sil.sum(-1)[..., None] * dt)
+    if p.use_C:
+        parts.append(DOC_s - DOC_r)
+        parts.append((DIC_s - DIC_r)[..., None])
+    if p.use_DON:
+        parts.append(dDON[..., None])
+    if p.use_Fe:
+        parts.append(dFed[..., None])
+        parts.append(dFep[..., None])
+    if p.use_DMS:
+        parts.append(dDMSPd[..., None])
+        parts.append(dDMS[..., None])
+    if p.use_PON:
+        # PON shadows nitrate (no independent reactions, :2052-2056)
+        parts.append(jnp.zeros_like(dNit)[..., None])
+    react = jnp.concatenate(parts, axis=-1)
+
+    # carbon budget residual (reference Cerror / conserve_C gate)
+    dC = (dN_alg * R_C2N).sum(-1)
+    if p.use_C:
+        dC = dC + dDOC.sum(-1) + (DIC_s - DIC_r)
+    if p.use_DON:
+        dC = dC + dDON * p.R_C2N_DON
+
+    return ReactionResult(
+        react=react, grow=grow.sum(-1), upNO=U_Nit.sum(-1),
+        upNH=U_Am.sum(-1) if p.use_Am else jnp.zeros_like(grow.sum(-1)),
+        zoo=Zoo, nitrif=nitrif, cerror=dC)
 
 
 def _thomas(a, b, cc, d):
@@ -207,6 +471,19 @@ def _thomas(a, b, cc, d):
     for k in range(n - 2, -1, -1):
         x.append(dp[k] - cp[k] * x[-1])
     return jnp.stack(x[::-1], axis=-1)
+
+
+class ZbgcResult(NamedTuple):
+    tracers: jnp.ndarray        # [*B, n_bio, nblyr+1] brine conc
+    flux_bio: jnp.ndarray       # [*B, n_bio] to ocean (mmol/m^2/s)
+    pp_net: jnp.ndarray         # net primary production (mmolN/m^2/s)
+    grow_net: jnp.ndarray       # specific growth (1/s)
+    up_NO: jnp.ndarray          # nitrate uptake (mmol/m^2/s)
+    up_NH: jnp.ndarray          # ammonium uptake
+    chla: jnp.ndarray           # column chlorophyll (mg/m^2)
+    zoo: jnp.ndarray            # column N closure sink (mmol N/m^2)
+    nitrification: jnp.ndarray  # column nitrification (mmol N/m^2)
+    cerror: jnp.ndarray         # max |carbon residual| (mmol C/m^3)
 
 
 def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
@@ -290,18 +567,23 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
     pp_net = jnp.zeros_like(grow_net)
     upNO = jnp.zeros_like(grow_net)
     upNH = jnp.zeros_like(grow_net)
+    zoo_col = jnp.zeros_like(grow_net)
+    nitrif_col = jnp.zeros_like(grow_net)
+    cerr = jnp.zeros_like(grow_net)
     C3 = []
     for k in range(K):
         # shortwave decays toward the bottom of the column
         fk = fswpen * jnp.exp(-1.5 * (k / max(K - 1, 1)))
-        react, grow_k, uNO, uNH = algal_reactions(
-            dt, C2[..., k], fk, T_bot, p)
-        C3.append(C2[..., k] + react)
+        r = algal_reactions(dt, C2[..., k], fk, T_bot, p)
+        C3.append(C2[..., k] + r.react)
         wgt = iphin[..., k] * hbr_s * float(zspace[k])
-        pp_net = pp_net + grow_k * wgt
-        upNO = upNO + uNO * wgt
-        upNH = upNH + uNH * wgt
-        grow_net = grow_net + grow_k
+        pp_net = pp_net + r.grow * wgt
+        upNO = upNO + r.upNO * wgt
+        upNH = upNH + r.upNH * wgt
+        zoo_col = zoo_col + r.zoo * wgt
+        nitrif_col = nitrif_col + r.nitrif * wgt
+        cerr = jnp.maximum(cerr, jnp.abs(r.cerror))
+        grow_net = grow_net + r.grow
     C3 = jnp.stack(C3, axis=-1)
 
     # positivity with conservative ocean-flux bookkeeping: clipped
@@ -318,9 +600,10 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
         shrink[..., None] / dt
 
     na = p.n_algae
-    chla = p.R_chl2N * (
-        C3[..., :na, :] * iphin[..., None, :] *
-        zspace_j).sum((-2, -1)) * hbr_s
+    R_chl2N = jnp.asarray(p.species("R_chl2N"), C.dtype)
+    chla = (R_chl2N[:, None] * C3[..., :na, :] * iphin[..., None, :] *
+            zspace_j).sum((-2, -1)) * hbr_s
     return ZbgcResult(tracers=C3, flux_bio=flux_ocn, pp_net=pp_net,
                       grow_net=grow_net / K, up_NO=upNO, up_NH=upNH,
-                      chla=chla)
+                      chla=chla, zoo=zoo_col, nitrification=nitrif_col,
+                      cerror=cerr)

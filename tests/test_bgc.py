@@ -157,15 +157,16 @@ class TestZbgc:
         from seaice_tpu.column.zbgc import ZbgcParams, algal_reactions
         p = ZbgcParams()
         C = jnp.asarray([[1.0, 12.0, 1.0, 25.0]])   # N, Nit, Am, Sil
-        react, grow, uNO, uNH = algal_reactions(
+        r = algal_reactions(
             3600.0, C, jnp.asarray([50.0]), jnp.asarray([-1.8]), p)
-        react = np.asarray(react)[0]
+        react = np.asarray(r.react)[0]
+        grow = r.grow
         assert grow[0] > 0.0
         assert react[1] < 0.0 or react[2] < 0.0    # N source drawn down
         assert react[3] < 0.0                      # silicate uptake
         # silicate uptake in the R_Si2N ratio of total growth
         np.testing.assert_allclose(-react[3],
-                                   p.R_Si2N * float(grow[0]) * 3600.0,
+                                   p.R_Si2N[0] * float(grow[0]) * 3600.0,
                                    rtol=1e-6)
 
     def test_full_model_with_bgc(self):
@@ -256,3 +257,117 @@ class TestZbgc:
         vs = np.asarray(state.tracers["verticalSalinity"])
         assert np.isfinite(vs).all()
         assert vs.min() >= 0.1 - 1e-12
+
+
+class TestFullEcosystem:
+    """The complete algal_dyn network (reference ice_algae.F90
+    :1505-2309): 3 autotroph classes, DOC/DIC/DON, iron, DMS chain."""
+
+    def _params(self):
+        from seaice_tpu.column.zbgc import ZbgcParams
+        return ZbgcParams(n_algae=3, use_C=True, use_DON=True,
+                          use_Fe=True, use_DMS=True, use_PON=True)
+
+    def _state(self, p):
+        ix = p.index()
+        C = np.zeros((2, p.n_bio))
+        C[:, ix["N"]] = [1.0, 0.5, 0.3]
+        C[:, ix["Nit"]] = 12.0
+        C[:, ix["Am"]] = 1.0
+        C[:, ix["Sil"]] = 25.0
+        C[:, ix["DOC"]] = [16.2, 9.0]
+        C[:, ix["DIC"]] = 1950.0
+        C[:, ix["DON"]] = 12.9
+        C[:, ix["Fed"]] = 0.4
+        C[:, ix["Fep"]] = 2.0
+        C[:, ix["DMSPd"]] = 0.1
+        C[:, ix["DMS"]] = 0.1
+        C[:, ix["PON"]] = 12.0
+        return jnp.asarray(C)
+
+    def test_roster_indexing(self):
+        p = self._params()
+        ix = p.index()
+        assert p.n_bio == 3 + 1 + 1 + 1 + 2 + 1 + 1 + 2 + 2 + 1
+        assert ix["N"] == slice(0, 3)
+        assert len(p.ocean_concentrations()) == p.n_bio
+
+    def test_nitrogen_closure(self):
+        """N across {algae, Nit, Am, DON} + Zoo closes to roundoff
+        (the reference's Zoo bookkeeping, algal_dyn :2058-2072)."""
+        from seaice_tpu.column.zbgc import algal_reactions
+        p = self._params()
+        C = self._state(p)
+        r = algal_reactions(3600.0, C, jnp.full((2,), 40.0),
+                            jnp.full((2,), -1.5), p)
+        ix = p.index()
+        react = np.asarray(r.react)
+        dN = (react[:, ix["N"]].sum(-1) + react[:, ix["Nit"]].sum(-1)
+              + react[:, ix["Am"]].sum(-1)
+              + react[:, ix["DON"]].sum(-1))
+        np.testing.assert_allclose(dN + np.asarray(r.zoo), 0.0,
+                                   atol=1e-12)
+
+    def test_carbon_closure(self):
+        """C across {algae*R_C2N, DOC, DIC, DON*R_C2N_DON} closes
+        (the reference's Cerror / conserve_C gate)."""
+        from seaice_tpu.column.zbgc import algal_reactions
+        p = self._params()
+        r = algal_reactions(3600.0, self._state(p),
+                            jnp.full((2,), 40.0),
+                            jnp.full((2,), -1.5), p)
+        assert float(np.abs(np.asarray(r.cerror)).max()) < 1e-10
+
+    def test_dms_chain(self):
+        """DMSPd converts to DMS with yield y_sk_DMS; DMS oxidizes."""
+        from seaice_tpu.column.zbgc import ZbgcParams, algal_reactions
+        p = ZbgcParams(n_algae=1, use_DMS=True, use_C=False,
+                       use_DON=False, use_Fe=False)
+        ix = p.index()
+        C = np.zeros((1, p.n_bio))
+        C[:, ix["DMSPd"]] = 10.0
+        C[:, ix["DMS"]] = 0.0
+        C[:, ix["Nit"]] = 1.0
+        r = algal_reactions(86400.0, jnp.asarray(C),
+                            jnp.zeros((1,)), jnp.full((1,), -1.8), p)
+        react = np.asarray(r.react)[0]
+        dDMSPd = react[ix["DMSPd"]][0]
+        dDMS = react[ix["DMS"]][0]
+        assert dDMSPd < 0.0                         # conversion loss
+        np.testing.assert_allclose(dDMS, -p.y_sk_DMS * dDMSPd,
+                                   rtol=1e-12)
+
+    def test_iron_limits_phaeocystis(self):
+        """High Fe:N demand (R_Fe2N=0.7) makes phaeocystis growth
+        iron-limited when dissolved iron is scarce."""
+        from seaice_tpu.column.zbgc import algal_reactions
+        p = self._params()
+        C = self._state(p)
+        ix = p.index()
+        C_lo = C.at[:, ix["Fed"]].set(1e-4)
+        r_hi = algal_reactions(3600.0, C, jnp.full((2,), 40.0),
+                               jnp.full((2,), -1.5), p)
+        r_lo = algal_reactions(3600.0, C_lo, jnp.full((2,), 40.0),
+                               jnp.full((2,), -1.5), p)
+        assert float(r_lo.grow[0]) < float(r_hi.grow[0])
+
+    def test_transport_with_full_roster(self):
+        """zbgc_transport_react over the 15-tracer roster: finite,
+        nonnegative, chla accumulates under light."""
+        from seaice_tpu.column.zbgc import zbgc_transport_react
+        p = self._params()
+        K = 5
+        C = jnp.broadcast_to(self._state(p)[:, :, None],
+                             (2, p.n_bio, K))
+        iphin = jnp.full((2, K), 0.2)
+        iDin = jnp.full((2, K), 1e-6)
+        zero = jnp.zeros((2,))
+        hbr = jnp.full((2,), 1.0)
+        out = zbgc_transport_react(
+            3600.0, C, iphin, iDin, zero, hbr, hbr, zero,
+            jnp.full((2,), 30.0), jnp.full((2,), -1.5),
+            p.ocean_concentrations(), p)
+        assert np.isfinite(np.asarray(out.tracers)).all()
+        assert float(out.tracers.min()) >= 0.0
+        assert float(out.chla.max()) > 0.0
+        assert float(out.cerror.max()) < 1e-8
