@@ -160,6 +160,7 @@ class ColumnPhysics:
                  use_ice_age: bool = False,
                  use_first_year_ice: bool = False,
                  use_snow_tracers: bool = False,
+                 snwredist: str = "none",
                  n_aerosols: int = 0,
                  use_form_drag: bool = False,
                  highfreq: bool = False,
@@ -201,6 +202,9 @@ class ColumnPhysics:
         self.use_ice_age = use_ice_age
         self.use_first_year_ice = use_first_year_ice
         self.use_snow_tracers = use_snow_tracers
+        if snwredist not in ("none", "ITDsd", "ITDrdg"):
+            raise ValueError(f"unsupported snwredist={snwredist}")
+        self.snwredist = snwredist
         self.n_aerosols = n_aerosols
         self.use_form_drag = use_form_drag
         self.highfreq = highfreq
@@ -735,6 +739,21 @@ class ColumnPhysics:
         _, fsloss = wind_snow_loss(wind, snow_rate)
         diags = {"rhos_eff": rhos_eff.mean(-1), "rhos_cmp":
                  rhos_cmp.mean(-1), "fsloss": fsloss}
+        if self.snwredist != "none":
+            from .snow import snow_redistribution
+            rd = snow_redistribution(
+                dt, wind, snow_rate, aicen, vicen, out[
+                    "snowVolumeCategory"],
+                out["snowEnthalpy"], rhos_cmp,
+                scheme=self.snwredist,
+                alvl=out.get("levelIceArea"),
+                vlvl=out.get("levelIceVolume"))
+            out["snowVolumeCategory"] = rd.vsnon
+            out["snowEnthalpy"] = rd.zqsn
+            diags["rhos_cmp"] = rd.rhos_cmpn.mean(-1)
+            diags["fsloss"] = diags["fsloss"] + rd.fsloss
+            diags["redist_fresh"] = rd.fresh
+            diags["redist_fhocn"] = rd.fhocn
         return out, diags
 
     def aggregate(self, tracers: Dict[str, Any]) -> Dict[str, Any]:

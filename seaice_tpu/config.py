@@ -120,6 +120,10 @@ class ColumnConfig:
     highfreq: bool = False          # Roberts 2014 ice-relative winds
     tfrz_option: str = "minus1p8"   # ocean freezing temperature formula
     use_brine_height: bool = False  # tr_brine (hbrine dynamics)
+    snwredist: str = "none"         # wind redistribution of snow:
+                                    # 'none' | 'ITDsd' | 'ITDrdg'
+                                    # (reference snow_redist,
+                                    # ice_snow.F90:119)
     n_bio_tracers: int = 0          # derived: (n_algae+3)*(nblyr+1)
     n_algae: int = 1
     n_bio_layers: int = 7           # nblyr (bio grid layers)

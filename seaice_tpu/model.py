@@ -125,6 +125,7 @@ class SeaIceModel:
                 use_ice_age=col.use_ice_age,
                 use_first_year_ice=col.use_first_year_ice,
                 use_snow_tracers=col.use_snow_tracers,
+                snwredist=col.snwredist,
                 n_aerosols=col.n_aerosols,
                 use_form_drag=col.use_form_drag,
                 highfreq=col.highfreq,
