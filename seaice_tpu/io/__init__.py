@@ -11,3 +11,5 @@ from .output import OutputStream
 from .parallel import (save_sharded_checkpoint, load_sharded_checkpoint,
                        assemble_checkpoint, ShardedOutputStream,
                        assemble_history)
+from .state_reader import (read_ice_state, write_ice_state,
+                           init_state_from_file)

@@ -246,3 +246,53 @@ def test_forcing_file_roundtrip(tmp_path):
     # reading with an explicit field subset works
     sub = read_forcing_series(p6, CORE_SIXHOURLY_FIELDS)
     assert set(sub.fields) == set(CORE_SIXHOURLY_FIELDS.values())
+
+
+def test_ice_state_file_init(tmp_path):
+    """File-based initial state (reference input stream at init): a
+    written IC file round-trips through init_state_from_file, and a
+    stepped trajectory from it matches the in-memory state bitwise."""
+    import dataclasses
+    from seaice_tpu.config import box_test_config
+    from seaice_tpu.io import init_state_from_file, write_ice_state
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.testcases import box
+    from seaice_tpu.utils.pytree import replace
+
+    cfg = box_test_config(elastic_subcycles=2)
+    cfg = dataclasses.replace(cfg, column=dataclasses.replace(
+        cfg.column, use_column_package=True))
+    mesh = box.box_test_mesh(6, 6)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    area, vol, snow = box.box_initial_state(mesh, n_categories=1)
+    ref_state = model.init_state(area, vol, snow)
+    # perturb a tracer so defaults differ from the file
+    tr = dict(ref_state.tracers)
+    tr["surfaceTemperature"] = tr["surfaceTemperature"] - 3.0
+    ref_state = replace(ref_state, tracers=tr)
+    uvel = jnp.asarray(np.linspace(0, 0.1, mesh.n_vertices))
+    ref_state = replace(ref_state, velocity=replace(
+        ref_state.velocity, u_velocity=uvel))
+
+    for suffix in ("nc", "npz"):
+        path = str(tmp_path / f"ic.{suffix}")
+        write_ice_state(path, ref_state.tracers,
+                        u_velocity=ref_state.velocity.u_velocity,
+                        v_velocity=ref_state.velocity.v_velocity)
+        loaded = init_state_from_file(model, path)
+        for name in ref_state.tracers:
+            np.testing.assert_array_equal(
+                np.asarray(loaded.tracers[name]),
+                np.asarray(ref_state.tracers[name]), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.velocity.u_velocity), np.asarray(uvel))
+
+    # stepping from the loaded state matches stepping from memory
+    step = model.make_step()
+    forcing = box.box_forcing(mesh, t=0.0)
+    s1, _ = step(model.tensors, ref_state, forcing)
+    s2, _ = step(model.tensors, loaded, forcing)
+    np.testing.assert_array_equal(
+        np.asarray(s1.tracers["iceAreaCategory"]),
+        np.asarray(s2.tracers["iceAreaCategory"]))
