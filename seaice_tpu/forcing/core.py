@@ -213,3 +213,24 @@ class NcarOceanForcing:
 
     def snapshot(self, clock: ModelClock) -> Dict[str, np.ndarray]:
         return self.monthly.interpolate(clock.seconds)
+
+
+@dataclasses.dataclass
+class DataIcebergForcing:
+    """Data-iceberg mode (reference init_data_iceberg_forcing :1628 +
+    get_data_iceberg_fluxes :1752): a monthly climatology of iceberg
+    freshwater flux, linearly interpolated; the latent-heat flux to
+    the ocean is derived assuming constant berg temperature -4 C."""
+    monthly: ForcingSeries
+    SPECIFIC_HEAT_FRESH_ICE = 2106.0   # J/kg/K
+    BERG_TEMPERATURE = -4.0            # C (assumed constant)
+
+    def snapshot(self, clock: ModelClock) -> Dict[str, np.ndarray]:
+        from .. import constants as c
+        rec = self.monthly.interpolate(clock.seconds)
+        fw = rec["bergFreshwaterFluxData"]
+        latent = -fw * (c.LATENT_HEAT_MELTING -
+                        self.SPECIFIC_HEAT_FRESH_ICE *
+                        self.BERG_TEMPERATURE)
+        return {"bergFreshwaterFlux": fw,
+                "bergLatentHeatFlux": latent}

@@ -296,3 +296,25 @@ def test_ice_state_file_init(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s1.tracers["iceAreaCategory"]),
         np.asarray(s2.tracers["iceAreaCategory"]))
+
+
+def test_data_iceberg_forcing():
+    """Data-iceberg monthly climatology: linear interp + derived
+    latent heat at -4 C (reference get_data_iceberg_fluxes :1752)."""
+    from seaice_tpu import constants as c
+    from seaice_tpu.forcing.clock import ModelClock
+    from seaice_tpu.forcing.core import DataIcebergForcing, ForcingSeries
+
+    nc = 4
+    data = np.stack([np.full(nc, 1e-6 * (m + 1)) for m in range(12)])
+    series = ForcingSeries(times=monthly_times(),
+                           fields={"bergFreshwaterFluxData": data})
+    bergs = DataIcebergForcing(monthly=series)
+    clock = ModelClock()
+    clock.advance(40 * 86400.0)        # mid-February
+    out = bergs.snapshot(clock)
+    fw = out["bergFreshwaterFlux"]
+    assert 1e-6 < fw.mean() < 3e-6
+    want = -fw * (c.LATENT_HEAT_MELTING - 2106.0 * (-4.0))
+    np.testing.assert_allclose(out["bergLatentHeatFlux"], want,
+                               rtol=1e-12)
