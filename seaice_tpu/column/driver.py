@@ -641,6 +641,7 @@ class ColumnPhysics:
             it2["verticalSalinity"] = jnp.where(
                 has[..., None], zs.bSin, MIN_SALIN)
             diags["fzsal"] = (zs.fzsal * aicen).sum(-1)
+            diags["fzsal_g"] = (zs.fzsal_g * aicen).sum(-1)
             diags["zsal_tot"] = (zs.zsal_tot * aicen).sum(-1)
 
         if self.use_biogeochemistry and "bioTracers" in it2:

@@ -33,7 +33,10 @@ N_SUBSTEPS = 4           # fixed sub-step count (reference adapts)
 
 class ZsalResult(NamedTuple):
     bSin: jnp.ndarray        # [*B, nblyr] bulk salinity on bio layers
-    fzsal: jnp.ndarray       # salt flux to ocean (kg/m^2/s)
+    fzsal: jnp.ndarray       # total salt flux to ocean (kg/m^2/s)
+    fzsal_g: jnp.ndarray     # gravity-drainage component alone
+                             # (reference calc_salt_fluxes :891 tracks
+                             # fzsal and fzsal_g separately)
     zsal_tot: jnp.ndarray    # total column salt (g/m^2)
 
 
@@ -59,8 +62,10 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
 
     S = bSin
     fzsal = jnp.zeros(bSin.shape[:-1], bSin.dtype)
+    fzsal_g = jnp.zeros_like(fzsal)
     # ocean-entrained salinity on growth: (1-salt_loss) * ocean brine
     S_entrain = (1.0 - SALT_LOSS) * sss
+    to_flux = dx * hbr_s * c.RHOI * 1.0e-3 / dt   # nondim -> kg/m^2/s
 
     for _ in range(N_SUBSTEPS):
         Dif = 0.5 * (iDin[..., :nblyr] + iDin[..., 1:nblyr + 1])
@@ -95,7 +100,14 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
         # salinity S [ppt] * rho_si ~ g salt / m^3 * 1e-3
         dsalt = ((S_new - S) * dx).sum(-1) * hbr_s * \
             c.RHOI * 1.0e-3                  # kg/m^2 per substep
-        fzsal = fzsal - dsalt / dts / N_SUBSTEPS * N_SUBSTEPS
+        fzsal = fzsal - dsalt / dt
+        # gravity-drainage component alone (the implicit bottom
+        # molecular-sublayer exchange evaluated at the new state —
+        # backward Euler makes this the exact booked contribution;
+        # reference calc_salt_fluxes :891 splits fzsal_g the same way)
+        gd = 2.0 * iDin[..., nblyr] / dx ** 2 * \
+            (S_new[..., -1] - sss) * dts
+        fzsal_g = fzsal_g + gd * to_flux
         S = S_new
 
     # min_salin floor; clipped salt comes from the ocean
@@ -103,4 +115,5 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
     fzsal = fzsal - ((S_f - S) * dx).sum(-1) * hbr_s * \
         c.RHOI * 1.0e-3 / dt
     zsal_tot = (S_f * dx).sum(-1) * hbr_s * c.RHOI * 1.0e-3
-    return ZsalResult(bSin=S_f, fzsal=fzsal, zsal_tot=zsal_tot)
+    return ZsalResult(bSin=S_f, fzsal=fzsal, fzsal_g=fzsal_g,
+                      zsal_tot=zsal_tot)

@@ -371,3 +371,40 @@ class TestFullEcosystem:
         assert float(out.tracers.min()) >= 0.0
         assert float(out.chla.max()) > 0.0
         assert float(out.cerror.max()) < 1e-8
+
+
+class TestZsalConservation:
+    def test_salt_budget_closes_and_drainage_split(self):
+        """Column salt change == -fzsal*dt (check_conserve_salt
+        analog, ice_zsalinity.F90:1029); the gravity-drainage
+        component is a subset of the total ocean exchange."""
+        from seaice_tpu.column.brine import compute_micro_s_mushy
+        from seaice_tpu.column.zsalinity import solve_zsalinity
+        nb, ncat, nbl = 2, 1, 7
+        q, S = _profiles(nb, ncat, 7)
+        sss = jnp.full((nb, ncat), 34.0)
+        sst = jnp.full((nb, ncat), -1.7)
+        hbr = jnp.full((nb, ncat), 1.0)
+        ms = compute_micro_s_mushy(q, S, sss, sst, hbr, nbl)
+        bS = jnp.full((nb, ncat, nbl), 6.0)
+        zero = jnp.zeros((nb, ncat))
+        dt = 3600.0
+        zs = solve_zsalinity(dt, bS, ms.iphin, ms.iDin, zero, hbr,
+                             hbr, zero, zero, sss,
+                             ms.brine_sal[..., -1])
+        from seaice_tpu.column import constants as c
+        salt0 = float((np.asarray(bS) / nbl).sum(-1).mean() *
+                      1.0 * c.RHOI * 1.0e-3)
+        salt0 = (np.asarray(bS).mean(-1) * np.asarray(hbr) *
+                 c.RHOI * 1.0e-3)
+        salt1 = np.asarray(zs.zsal_tot)
+        np.testing.assert_allclose(
+            salt1 - salt0, -np.asarray(zs.fzsal) * dt,
+            rtol=1e-9, atol=1e-12)
+        # ice saltier than the 6 ppt start: drainage pulls salt IN
+        # from the 34 ppt ocean -> fzsal_g negative, and it is part
+        # of (not larger than) the total exchange magnitude
+        fg = np.asarray(zs.fzsal_g)
+        ft = np.asarray(zs.fzsal)
+        assert (fg <= 0.0).all()
+        assert (np.abs(fg) <= np.abs(ft) + 1e-12).all()
