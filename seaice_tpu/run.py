@@ -200,16 +200,18 @@ class StandaloneRunner:
             # raw forcing records at the current clock (reference
             # seaice_forcing_get :306); interpolation is host-side and
             # cheap, derived fields happen on device
-            sixh = monthly = None
-            ocn_raw = None
-            if self.atmos is not None:
-                sixh, monthly = self.atmos.raw_snapshot(self.clock)
-                sixh = {k: jnp.asarray(v, d) for k, v in sixh.items()}
-                monthly = {k: jnp.asarray(v, d)
-                           for k, v in monthly.items()}
-            if self.ocean is not None:
-                ocn_raw = {k: jnp.asarray(v, d) for k, v in
-                           self.ocean.snapshot(self.clock).items()}
+            with self.timers.time("forcing"):
+                sixh = monthly = None
+                ocn_raw = None
+                if self.atmos is not None:
+                    sixh, monthly = self.atmos.raw_snapshot(self.clock)
+                    sixh = {k: jnp.asarray(v, d)
+                            for k, v in sixh.items()}
+                    monthly = {k: jnp.asarray(v, d)
+                               for k, v in monthly.items()}
+                if self.ocean is not None:
+                    ocn_raw = {k: jnp.asarray(v, d) for k, v in
+                               self.ocean.snapshot(self.clock).items()}
 
             with self.timers.time("timestep"):
                 self.state, diags, checks, cell_masks = \
@@ -223,18 +225,21 @@ class StandaloneRunner:
             self.clock.advance(dt)
 
             if (istep + 1) % check_interval == 0:
-                from .error import raise_on_failed_checks
-                raise_on_failed_checks(
-                    checks, self.state, self.clock.timestamp(),
-                    run_dir=self.streams.restart_dir,
-                    cell_masks=cell_masks)
+                with self.timers.time("state_check"):
+                    from .error import raise_on_failed_checks
+                    raise_on_failed_checks(
+                        checks, self.state, self.clock.timestamp(),
+                        run_dir=self.streams.restart_dir,
+                        cell_masks=cell_masks)
 
             if self.streams.output is not None and \
                     self._out_alarm.is_ringing(self.clock):
-                self._write_output()
+                with self.timers.time("output"):
+                    self._write_output()
             if self.streams.restart_dir is not None and \
                     self._restart_alarm.is_ringing(self.clock):
-                self._write_restart()
+                with self.timers.time("restart_write"):
+                    self._write_restart()
         return self.state
 
     def _write_output(self):
