@@ -280,10 +280,56 @@ def _tune_iops(k_mn, w_mn, R, fp, fm):
     return k, sigp / k
 
 
+# bulk aerosol optics per band x species (2 x black carbon, 4 x dust
+# size bins) — the standard CICE/Icepack 3-band tables the reference
+# reads from its optics input file (aerosolMassExtinctionCrossSection
+# etc., Registry.xml:3951; mixing code ice_shortwave.F90:2556-2650).
+# Override with exact file tables via set_aerosol_optics().
+KAER_TAB = np.array([                     # mass extinction (m^2/kg)
+    [11580.619, 25798.965, 196.498, 2665.859, 840.783, 387.512],
+    [5535.418, 11536.039, 204.141, 2256.710, 1028.247, 414.688],
+    [2793.797, 4688.242, 214.423, 820.360, 1163.033, 450.298]])
+WAER_TAB = np.array([                     # single-scatter albedo
+    [0.290, 0.517, 0.845, 0.899, 0.891, 0.780],
+    [0.173, 0.416, 0.942, 0.969, 0.937, 0.709],
+    [0.066, 0.213, 0.957, 0.974, 0.949, 0.730]])
+GAER_TAB = np.array([                     # asymmetry parameter
+    [0.354, 0.526, 0.832, 0.689, 0.702, 0.787],
+    [0.198, 0.324, 0.783, 0.708, 0.661, 0.736],
+    [0.089, 0.150, 0.744, 0.542, 0.720, 0.644]])
+
+
+def set_aerosol_optics(kaer, waer, gaer):
+    """Install exact per-band aerosol optics tables (shape
+    [3, n_species]) read from an optics file."""
+    global KAER_TAB, WAER_TAB, GAER_TAB
+    KAER_TAB = np.asarray(kaer)
+    WAER_TAB = np.asarray(waer)
+    GAER_TAB = np.asarray(gaer)
+
+
+def _mix_aerosol(tau, w0, g, mp, band):
+    """Mix bulk-aerosol optics into one layer's (tau, w0, g)
+    (reference ice_shortwave.F90:2556-2650): mp [*B, n_species] is the
+    aerosol mass path in this layer (kg/m^2)."""
+    n_sp = mp.shape[-1]
+    k_t = jnp.asarray(KAER_TAB[band, :n_sp], mp.dtype)
+    w_t = jnp.asarray(WAER_TAB[band, :n_sp], mp.dtype)
+    g_t = jnp.asarray(GAER_TAB[band, :n_sp], mp.dtype)
+    taer = (mp * k_t).sum(-1)
+    waer = (mp * k_t * w_t).sum(-1)
+    gaer = (mp * k_t * w_t * g_t).sum(-1)
+    g_new = (g * w0 * tau + gaer) / jnp.maximum(
+        w0 * tau + waer, c.PUNY)
+    w_new = (w0 * tau + waer) / jnp.maximum(tau + taer, c.PUNY)
+    return tau + taer, w_new, jnp.where(taer > 0.0, g_new, g)
+
+
 def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
                    swvdr, swvdf, swidr, swidf,
                    n_ice_layers: int, n_snow_layers: int = 1,
                    apnd=None, hpnd=None, rsnw=None,
+                   aero_mp_snow=None, aero_mp_ice=None,
                    R_ice: float = 0.0, R_pnd: float = 0.0,
                    R_snw: float = 1.5, dT_mlt: float = 1.5,
                    rsnw_mlt: float = 1500.0, hs0: float = 0.0):
@@ -312,6 +358,10 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
     rsnw: per-snow-layer grain radius tracer [*B, nCat, ns]; default
     is the reference's Tsfc-dependent parametric radius (set_snow
     :3693-3711) with tuning R_snw.
+    aero_mp_snow/aero_mp_ice: bulk aerosol mass paths
+    [*B, nCat, n_species, 2] (kg/m^2; slot 0 = SSL pool, slot 1 =
+    body pool, the reference's aero_mp groups of 4 :1417-1428) mixed
+    into the snow/ice layer optics (:2556-2650).
     """
     from .shortwave import ShortwaveResult
 
@@ -412,6 +462,29 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
             taus.append(ki_int * dz_i)
             w0s.append(jnp.full_like(aicen, wi_int))
             gls.append(jnp.full_like(aicen, GI_INT[b]))
+
+        # bulk aerosol mixing into the layer optics (:2556-2650):
+        # snow SSL pool -> row 0, snow body /ns_l over the body rows;
+        # ice SSL pool -> the ice SSL row, ice body /ni over DL+interior
+        if aero_mp_snow is not None:
+            mps = jnp.where(l_snow[..., None],
+                            aero_mp_snow[..., 0], 0.0)
+            mpb = jnp.where(l_snow[..., None],
+                            aero_mp_snow[..., 1], 0.0) / ns_l
+            taus[0], w0s[0], gls[0] = _mix_aerosol(
+                taus[0], w0s[0], gls[0], mps, b)
+            for k in range(1, ns_l + 1):
+                taus[k], w0s[k], gls[k] = _mix_aerosol(
+                    taus[k], w0s[k], gls[k], mpb, b)
+        if aero_mp_ice is not None:
+            mpi_s = aero_mp_ice[..., 0]
+            mpi_b = aero_mp_ice[..., 1] / ni
+            taus[ns_l + 1], w0s[ns_l + 1], gls[ns_l + 1] = \
+                _mix_aerosol(taus[ns_l + 1], w0s[ns_l + 1],
+                             gls[ns_l + 1], mpi_s, b)
+            for k in range(ns_l + 2, K):
+                taus[k], w0s[k], gls[k] = _mix_aerosol(
+                    taus[k], w0s[k], gls[k], mpi_b, b)
 
         sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
                                 ALBOCN_DR[b], ALBOCN_DF[b])

@@ -265,6 +265,19 @@ class ColumnPhysics:
                     aicen, vicen, vsnon, tsfc, coszen,
                     swvdr, swvdf, swidr, swidf, self.ni, self.ns,
                     **kwargs)
+            if self.n_aerosols and "snowScatteringAerosol" in tracers:
+                # bulk aerosol mass paths (reference aero_mp
+                # :1417-1428): per-volume tracers * snow/ice volume
+                kwargs["aero_mp_snow"] = jnp.stack(
+                    [tracers["snowScatteringAerosol"] *
+                     vsnon[..., None],
+                     tracers["snowBodyAerosol"] * vsnon[..., None]],
+                    axis=-1)
+                kwargs["aero_mp_ice"] = jnp.stack(
+                    [tracers["iceScatteringAerosol"] *
+                     vicen[..., None],
+                     tracers["iceBodyAerosol"] * vicen[..., None]],
+                    axis=-1)
             return shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
                                   swvdr, swvdf, swidr, swidf,
                                   self.ni, self.ns, **kwargs)

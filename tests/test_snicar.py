@@ -102,3 +102,55 @@ def test_pond_snow_blend_consistent():
                  sw5.alidr * f["swidr"] + sw5.alidf * f["swidf"])[:, 0]
     np.testing.assert_allclose(np.asarray(absorbed + reflected),
                                np.asarray(incident), rtol=1e-6)
+
+
+class TestAerosolOptics:
+    """Bulk aerosol optics in dEdd (reference ice_shortwave.F90
+    :2556-2650): absorbing aerosols darken the surface."""
+
+    def _run(self, aero_snow=None, aero_ice=None):
+        from seaice_tpu.column.dedd import shortwave_dedd
+        nb, ncat, ni, ns = 3, 1, 4, 1
+        a = jnp.full((nb, ncat), 0.9)
+        vi = jnp.full((nb, ncat), 1.5 * 0.9)
+        vs = jnp.full((nb, ncat), 0.25 * 0.9)
+        tsfc = jnp.full((nb, ncat), -10.0)
+        cz = jnp.full((nb, ncat), 0.6)
+        f = jnp.full((nb,), 100.0)
+        return shortwave_dedd(a, vi, vs, tsfc, cz, f, f, f, f, ni, ns,
+                              aero_mp_snow=aero_snow,
+                              aero_mp_ice=aero_ice)
+
+    def test_bc_darkens_snow(self):
+        nb, ncat = 3, 1
+        clean = self._run()
+        # 5e-5 kg/m^2 of black carbon (species 0) in the snow SSL
+        mp = np.zeros((nb, ncat, 1, 2))
+        mp[..., 0, 0] = 5e-5
+        dirty = self._run(aero_snow=jnp.asarray(mp))
+        assert float(dirty.alvdr.mean()) < \
+            float(clean.alvdr.mean()) - 0.01
+        # absorbed+through+reflected still balances: albedos in [0,1]
+        for f in (dirty.alvdr, dirty.alidf):
+            v = np.asarray(f)
+            assert (v >= 0.0).all() and (v <= 1.0).all()
+
+    def test_dust_darkens_less_than_bc(self):
+        nb, ncat = 3, 1
+        mp_bc = np.zeros((nb, ncat, 3, 2)); mp_bc[..., 0, 0] = 2e-5
+        mp_du = np.zeros((nb, ncat, 3, 2)); mp_du[..., 2, 0] = 2e-5
+        a_bc = self._run(aero_snow=jnp.asarray(mp_bc))
+        a_du = self._run(aero_snow=jnp.asarray(mp_du))
+        clean = self._run()
+        assert float(a_bc.alvdr.mean()) < \
+            float(a_du.alvdr.mean())
+        assert float(a_du.alvdr.mean()) <= \
+            float(clean.alvdr.mean()) + 1e-12
+
+    def test_ice_aerosol_changes_transmission(self):
+        nb, ncat = 3, 1
+        mp = np.zeros((nb, ncat, 1, 2))
+        mp[..., 0, 1] = 1e-4         # BC in the ice body
+        clean = self._run()
+        dirty = self._run(aero_ice=jnp.asarray(mp))
+        assert float(dirty.fswthru.mean()) < float(clean.fswthru.mean())
