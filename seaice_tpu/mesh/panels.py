@@ -249,14 +249,25 @@ def build_panel_layout(mesh, subdivisions: int) -> PanelLayout:
 
     face_rhombus, face_corner_rc = _face_maps(f0, pairs, swaps, N)
 
+    # integer corner tables: all chart positions are exact lattice
+    # points, so the barycentric evaluation is exact integer
+    # arithmetic scaled by N (no float rint/allclose per call — these
+    # two evaluators dominated layout-build time at QU-class sizes)
+    fcr_i = [[(int(round(x)), int(round(y))) for x, y in fc]
+             for fc in face_corner_rc]
+
+    def _bary_int(a, b, corners):
+        (i0, j0), (i1, j1), (i2, j2) = corners
+        w0 = N - a - b
+        iN = w0 * i0 + a * i1 + b * i2
+        jN = w0 * j0 + a * j1 + b * j2
+        assert iN % N == 0 and jN % N == 0
+        return iN // N, jN // N
+
     def to_rhombus(fi, ab):
         """Face-lattice (a, b) -> rhombus lattice (i, j) (integer)."""
         a, b = ab
-        w = np.array([1.0 - (a + b) / N, a / N, b / N])
-        ij = w @ face_corner_rc[fi]
-        out = np.rint(ij).astype(np.int64)
-        assert np.allclose(ij, out, atol=1e-9)
-        return int(out[0]), int(out[1])
+        return _bary_int(a, b, fcr_i[fi])
 
     cell_slot = np.full((10, N, N), -1, np.int64)
     cell_of = np.full((mesh.n_cells, 3), -1, np.int64)
@@ -344,19 +355,27 @@ def build_panel_layout(mesh, subdivisions: int) -> PanelLayout:
         chart_cache[key] = out
         return out
 
+    chart_int_cache: Dict[Tuple[int, int], Optional[list]] = {}
+
+    def chart_corners_int(fv: int, p: int):
+        key = (fv, p)
+        if key not in chart_int_cache:
+            cc = chart_corners(fv, p)
+            chart_int_cache[key] = None if cc is None else \
+                [(int(round(x)), int(round(y))) for x, y in cc]
+        return chart_int_cache[key]
+
     def tri_in_chart(t: int, p: int):
         """Vertex (triangle) t's array position (i, j, up/down) in
         rhombus p's chart, or None (non-adjacent face)."""
         fv = int(tri_orig[t])
-        cc = chart_corners(fv, p)
+        cc = chart_corners_int(fv, p)
         if cc is None:
             return None
         cs = []
         for c in tris[t]:
             a, b = coords[fv][int(c)]
-            w = np.array([1.0 - (a + b) / N, a / N, b / N])
-            ij = np.rint(w @ cc).astype(np.int64)
-            cs.append((int(ij[0]), int(ij[1])))
+            cs.append(_bary_int(a, b, cc))
         imin = min(x[0] for x in cs)
         jmin = min(x[1] for x in cs)
         rel = sorted((x[0] - imin, x[1] - jmin) for x in cs)

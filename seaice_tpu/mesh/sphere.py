@@ -33,28 +33,40 @@ def _icosahedron():
     return v, f
 
 
+def _first_seen_unique(keys):
+    """np.unique with ids renumbered in FIRST-OCCURRENCE order (the
+    numbering a sequential dict-based builder would produce).
+    Returns (first_idx_in_seen_order, inverse_ranks)."""
+    _, first_idx, inv = np.unique(keys, return_index=True,
+                                  return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return first_idx[order], rank[inv]
+
+
 def _subdivide(verts, faces):
-    """One 4-way triangle subdivision, points projected to the sphere."""
-    edge_mid = {}
-    verts = list(verts)
-
-    def midpoint(a, b):
-        key = (min(a, b), max(a, b))
-        if key not in edge_mid:
-            m = verts[a] + verts[b]
-            m = m / np.linalg.norm(m)
-            edge_mid[key] = len(verts)
-            verts.append(m)
-        return edge_mid[key]
-
-    new_faces = []
-    for a, b, cc in faces:
-        ab = midpoint(a, b)
-        bc = midpoint(b, cc)
-        ca = midpoint(cc, a)
-        new_faces += [[a, ab, ca], [b, bc, ab], [cc, ca, bc],
-                      [ab, bc, ca]]
-    return np.array(verts), np.array(new_faces, np.int64)
+    """One 4-way triangle subdivision, points projected to the sphere
+    (vectorized; midpoint numbering identical to the sequential
+    builder: first-seen order over the ab,bc,ca per-face sequence)."""
+    F = len(faces)
+    a, b, cc = faces[:, 0], faces[:, 1], faces[:, 2]
+    pairs = np.stack([np.stack([a, b], 1), np.stack([b, cc], 1),
+                      np.stack([cc, a], 1)], axis=1).reshape(-1, 2)
+    lo = pairs.min(1).astype(np.int64)
+    hi = pairs.max(1).astype(np.int64)
+    first_idx, mid_rank = _first_seen_unique(lo * (1 << 32) + hi)
+    mids = verts[lo[first_idx]] + verts[hi[first_idx]]
+    mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+    new_verts = np.concatenate([verts, mids])
+    mid_id = (len(verts) + mid_rank).reshape(F, 3)
+    ab, bc, ca = mid_id[:, 0], mid_id[:, 1], mid_id[:, 2]
+    new_faces = np.empty((4 * F, 3), np.int64)
+    new_faces[0::4] = np.stack([a, ab, ca], 1)
+    new_faces[1::4] = np.stack([b, bc, ab], 1)
+    new_faces[2::4] = np.stack([cc, ca, bc], 1)
+    new_faces[3::4] = np.stack([ab, bc, ca], 1)
+    return new_verts, new_faces
 
 
 def _circumcenter(p1, p2, p3):
@@ -69,22 +81,20 @@ def _circumcenter(p1, p2, p3):
 
 
 def _spherical_polygon_area(points, radius):
-    """Area of a spherical polygon given CCW corner unit vectors
-    [n, 3] (l'Huilier / spherical excess via angle sum)."""
-    n = len(points)
-    angles = 0.0
-    for i in range(n):
-        a = points[(i - 1) % n]
-        b = points[i]
-        cc = points[(i + 1) % n]
-        # tangent-plane vectors at b
-        t1 = a - b * (a @ b)
-        t2 = cc - b * (cc @ b)
-        t1 /= np.linalg.norm(t1)
-        t2 /= np.linalg.norm(t2)
-        ang = np.arccos(np.clip(t1 @ t2, -1.0, 1.0))
-        angles += ang
-    return (angles - (n - 2) * np.pi) * radius ** 2
+    """Area of spherical polygons given CCW corner unit vectors
+    [..., n, 3] (spherical excess via interior-angle sum), batched
+    over leading axes."""
+    points = np.asarray(points)
+    n = points.shape[-2]
+    a = np.roll(points, 1, axis=-2)
+    b = points
+    cc = np.roll(points, -1, axis=-2)
+    t1 = a - b * (a * b).sum(-1, keepdims=True)
+    t2 = cc - b * (cc * b).sum(-1, keepdims=True)
+    t1 /= np.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 /= np.linalg.norm(t2, axis=-1, keepdims=True)
+    ang = np.arccos(np.clip((t1 * t2).sum(-1), -1.0, 1.0))
+    return (ang.sum(-1) - (n - 2) * np.pi) * radius ** 2
 
 
 def icosahedral_mesh(subdivisions: int = 3,
@@ -106,107 +116,114 @@ def icosahedral_mesh(subdivisions: int = 3,
     cells_on_vertex = tris.astype(np.int32)
     vertex_degree = 3
 
-    # vertices (triangles) around each cell, CCW-ordered
-    tri_of_cell = [[] for _ in range(n_cells)]
-    for t, tri in enumerate(tris):
-        for cc in tri:
-            tri_of_cell[cc].append(t)
-    max_edges = max(len(x) for x in tri_of_cell)
-
-    # local tangent frame at each cell for ordering
-    def tangent_frame(p):
-        z = np.array([0.0, 0.0, 1.0])
-        e1 = np.cross(z, p)
-        if np.linalg.norm(e1) < 1e-12:
-            e1 = np.cross(np.array([1.0, 0.0, 0.0]), p)
-        e1 /= np.linalg.norm(e1)
-        e2 = np.cross(p, e1)
-        return e1, e2
-
+    # vertices (triangles) around each cell, CCW-ordered — all loops
+    # below are vectorized over cells/edges (the sequential builder was
+    # the setup bottleneck at QU-class sizes); entity numbering is
+    # identical to a sequential first-seen builder.
+    pairs_c = tris.reshape(-1)
+    pairs_t = np.repeat(np.arange(n_vertices, dtype=np.int64), 3)
+    by_cell = np.argsort(pairs_c, kind="stable")
+    counts = np.bincount(pairs_c, minlength=n_cells)
+    max_edges = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(len(pairs_c)) - starts[pairs_c[by_cell]]
     vertices_on_cell = np.full((n_cells, max_edges), -1, np.int32)
-    n_edges_on_cell = np.zeros(n_cells, np.int32)
-    for cc in range(n_cells):
-        ts = tri_of_cell[cc]
-        e1, e2 = tangent_frame(pts[cc])
-        ang = [np.arctan2((vert_xyz[t] @ e2), (vert_xyz[t] @ e1))
-               for t in ts]
-        order = np.argsort(ang)
-        ts_sorted = [ts[i] for i in order]
-        n_edges_on_cell[cc] = len(ts_sorted)
-        vertices_on_cell[cc, :len(ts_sorted)] = ts_sorted
+    vertices_on_cell[pairs_c[by_cell], slot] = pairs_t[by_cell]
+    n_edges_on_cell = counts.astype(np.int32)
 
-    # edges: between adjacent cells (shared triangle pair), identified by
-    # consecutive vertices on each cell's ring
-    edge_index = {}
-    edge_cells = []
-    edge_verts = []
+    # CCW order by angle in the local tangent frame at each cell
+    z = np.array([0.0, 0.0, 1.0])
+    e1 = np.cross(np.broadcast_to(z, pts.shape), pts)
+    degen = np.linalg.norm(e1, axis=-1) < 1e-12
+    if degen.any():
+        e1[degen] = np.cross(np.array([1.0, 0.0, 0.0]), pts[degen])
+    e1 /= np.linalg.norm(e1, axis=-1, keepdims=True)
+    e2 = np.cross(pts, e1)
+    voc_safe = np.maximum(vertices_on_cell, 0)
+    vp = vert_xyz[voc_safe]                           # [nC, me, 3]
+    ang = np.arctan2((vp * e2[:, None]).sum(-1),
+                     (vp * e1[:, None]).sum(-1))
+    ang = np.where(vertices_on_cell >= 0, ang, np.inf)
+    order = np.argsort(ang, axis=1)
+    vertices_on_cell = np.take_along_axis(
+        vertices_on_cell, order, axis=1)
+
+    # edges: consecutive ring vertices, deduplicated in first-seen
+    # order (ring-major scan like the sequential builder)
+    kidx = np.arange(max_edges)[None, :]
+    valid = kidx < n_edges_on_cell[:, None]
+    nxt = np.where(kidx + 1 < n_edges_on_cell[:, None], kidx + 1, 0)
+    v1 = vertices_on_cell
+    v2 = np.take_along_axis(vertices_on_cell, nxt, axis=1)
+    flat_ok = valid.reshape(-1)
+    v1f = v1.reshape(-1)[flat_ok].astype(np.int64)
+    v2f = v2.reshape(-1)[flat_ok].astype(np.int64)
+    ccf = np.repeat(np.arange(n_cells), max_edges)[flat_ok]
+    lo = np.minimum(v1f, v2f)
+    hi = np.maximum(v1f, v2f)
+    first_idx, edge_rank = _first_seen_unique(lo * (1 << 32) + hi)
+    n_edges = len(first_idx)
     edges_on_cell = np.full((n_cells, max_edges), -1, np.int32)
-    for cc in range(n_cells):
-        ne = n_edges_on_cell[cc]
-        for k in range(ne):
-            v1 = vertices_on_cell[cc, k]
-            v2 = vertices_on_cell[cc, (k + 1) % ne]
-            key = (min(v1, v2), max(v1, v2))
-            if key not in edge_index:
-                edge_index[key] = len(edge_cells)
-                edge_cells.append([cc, -1])
-                edge_verts.append([v1, v2])
-            else:
-                e = edge_index[key]
-                if edge_cells[e][0] != cc:
-                    edge_cells[e][1] = cc
-            edges_on_cell[cc, k] = edge_index[key]
-    n_edges = len(edge_cells)
-    cells_on_edge = np.array(edge_cells, np.int32)
-    vertices_on_edge = np.array(edge_verts, np.int32)
+    edges_on_cell.reshape(-1)[flat_ok] = edge_rank
+    vertices_on_edge = np.stack(
+        [v1f[first_idx], v2f[first_idx]], axis=1).astype(np.int32)
+    # each spherical edge is scanned by exactly two cells: the
+    # first-seen cell is column 0, the other column 1
+    by_edge = np.argsort(edge_rank, kind="stable")
+    cells_sorted = ccf[by_edge].astype(np.int32)
+    cells_on_edge = cells_sorted.reshape(n_edges, 2)
 
-    # cells_on_cell via shared edge
-    cells_on_cell = np.full((n_cells, max_edges), -1, np.int32)
-    for cc in range(n_cells):
-        for k in range(n_edges_on_cell[cc]):
-            e = edges_on_cell[cc, k]
-            a, b = cells_on_edge[e]
-            cells_on_cell[cc, k] = b if a == cc else a
+    # cells_on_cell via the shared edge
+    eoc_safe = np.maximum(edges_on_cell, 0)
+    ce = cells_on_edge[eoc_safe]                     # [nC, me, 2]
+    own = np.arange(n_cells, dtype=np.int32)[:, None]
+    cells_on_cell = np.where(ce[..., 0] == own, ce[..., 1],
+                             ce[..., 0])
+    cells_on_cell = np.where(edges_on_cell >= 0, cells_on_cell, -1)
 
-    # edges_on_vertex
-    edges_on_vertex = np.full((n_vertices, vertex_degree), -1, np.int32)
-    fill = np.zeros(n_vertices, np.int32)
-    for e in range(n_edges):
-        for v in vertices_on_edge[e]:
-            if fill[v] < vertex_degree:
-                edges_on_vertex[v, fill[v]] = e
-                fill[v] += 1
+    # edges_on_vertex: e-major scan order per vertex
+    ev_v = vertices_on_edge.reshape(-1)
+    ev_e = np.repeat(np.arange(n_edges, dtype=np.int32), 2)
+    by_v = np.argsort(ev_v, kind="stable")
+    vcounts = np.bincount(ev_v, minlength=n_vertices)
+    vstarts = np.concatenate([[0], np.cumsum(vcounts)])
+    vslot = np.arange(len(ev_v)) - vstarts[ev_v[by_v]]
+    keep = vslot < vertex_degree
+    edges_on_vertex = np.full((n_vertices, vertex_degree), -1,
+                              np.int32)
+    edges_on_vertex[ev_v[by_v][keep], vslot[keep]] = ev_e[by_v][keep]
 
-    # geometry
+    # geometry (vectorized)
     cell_xyz = pts * radius
     vxyz = vert_xyz * radius
-    edge_xyz = np.zeros((n_edges, 3))
-    dv_edge = np.zeros(n_edges)
-    dc_edge = np.zeros(n_edges)
-    for e in range(n_edges):
-        v1, v2 = vertices_on_edge[e]
-        m = vert_xyz[v1] + vert_xyz[v2]
-        m /= np.linalg.norm(m)
-        edge_xyz[e] = m * radius
-        dv_edge[e] = radius * np.arccos(np.clip(
-            vert_xyz[v1] @ vert_xyz[v2], -1, 1))
-        c1, c2 = cells_on_edge[e]
-        if c2 >= 0:
-            dc_edge[e] = radius * np.arccos(np.clip(
-                pts[c1] @ pts[c2], -1, 1))
+    mve = vert_xyz[vertices_on_edge[:, 0]] + \
+        vert_xyz[vertices_on_edge[:, 1]]
+    mve /= np.linalg.norm(mve, axis=-1, keepdims=True)
+    edge_xyz = mve * radius
+    dv_edge = radius * np.arccos(np.clip(
+        (vert_xyz[vertices_on_edge[:, 0]] *
+         vert_xyz[vertices_on_edge[:, 1]]).sum(-1), -1, 1))
+    dc_edge = np.where(
+        cells_on_edge[:, 1] >= 0,
+        radius * np.arccos(np.clip(
+            (pts[cells_on_edge[:, 0]] *
+             pts[np.maximum(cells_on_edge[:, 1], 0)]).sum(-1),
+            -1, 1)),
+        0.0)
 
+    # polygon areas, batched per ring size (pentagons + hexagons)
     area_cell = np.zeros(n_cells)
-    for cc in range(n_cells):
-        ring = vertices_on_cell[cc, :n_edges_on_cell[cc]]
-        area_cell[cc] = _spherical_polygon_area(vert_xyz[ring], radius)
+    for ne in np.unique(n_edges_on_cell):
+        rows = np.nonzero(n_edges_on_cell == ne)[0]
+        rings = vertices_on_cell[rows, :ne]
+        area_cell[rows] = _spherical_polygon_area(
+            vert_xyz[rings], radius)
 
     # dual triangle areas + kites
-    area_triangle = np.zeros(n_vertices)
-    kite = np.zeros((n_vertices, vertex_degree))
-    for v in range(n_vertices):
-        corners = pts[cells_on_vertex[v]]
-        area_triangle[v] = _spherical_polygon_area(corners, radius)
-        kite[v, :] = area_triangle[v] / vertex_degree
+    area_triangle = _spherical_polygon_area(pts[cells_on_vertex],
+                                            radius)
+    kite = np.repeat(area_triangle[:, None] / vertex_degree,
+                     vertex_degree, axis=1)
 
     lat_cell = np.arcsin(np.clip(pts[:, 2], -1, 1))
     lon_cell = np.mod(np.arctan2(pts[:, 1], pts[:, 0]), 2 * np.pi)
