@@ -338,7 +338,22 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             "are not supported; choose one scheme for both")
 
     fused_subcycle = None
-    if use_pallas:
+    fused_panel_cell = None
+    panel_nppe = None
+    if use_pallas and panel_n is not None:
+        # spherical panel meshes: fuse the cell-side subcycle pipeline
+        # (dynamics/pallas_panel.py); vertex-side work stays in XLA
+        if use_weak or relation != ConstitutiveRelation.EVP or \
+                v_cfg.average_variational_strains:
+            raise ValueError(
+                "use_pallas on a panel mesh requires the variational "
+                "scheme with standard EVP")
+        from .pallas_panel import build_panel_cell_kernel
+        fused_panel_cell, panel_nppe = build_panel_cell_kernel(
+            panel_n, 10 * (panel_n + 1) ** 2 + 2,
+            dt_elastic=dt_e, damping_timescale=damping_t,
+            include_metric=v_cfg.include_metric_terms)
+    elif use_pallas:
         if (use_weak or relation != ConstitutiveRelation.EVP or
                 raster is None or v_cfg.include_metric_terms or
                 v_cfg.average_variational_strains or
@@ -703,9 +718,49 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                     solve_stress)[None, :]
                 p_T = zc.at[dyn.panel.cell_pad_idx].set(
                     pressure)[None, :]
+                if fused_panel_cell is not None:
+                    exc_cols = dyn.panel.exc_pad_cols
+                    # the kernel must not touch the exception columns
+                    ss_kernel = ss_T[0].at[exc_cols].set(0.0)
+                    p_exc = p_T[:, exc_cols]
+                    ss_exc = ss_T[:, exc_cols]
 
             def body(_, carry):
                 u, v, t11, t22, t12 = carry
+                if use_panel and fused_panel_cell is not None:
+                    pt = dyn.panel
+                    planes_ext = vpn.vertex_planes_ext(
+                        pt, panel_n, u, v, metric, panel_nppe)
+                    (t11n, t22n, t12n, pu, pv, mu, mv) = \
+                        fused_panel_cell(
+                            planes_ext, t11, t22, t12, p_T[0],
+                            ss_kernel, pt.basis_grad_S,
+                            pt.basis_int_S, pt.basis_metric_S)
+                    # 12-cell exception path: ring-indexed strain +
+                    # stress update, overwriting the kernel's columns
+                    x11, x22, x12 = vpn.exception_strain(
+                        pt, u, v, metric)
+                    n11e, n22e, n12e, _ = \
+                        constitutive.evp_stress_update(
+                            t11[:, exc_cols], t22[:, exc_cols],
+                            t12[:, exc_cols], x11, x22, x12,
+                            p_exc, dt_e, damping_t)
+                    t11 = t11n.at[:, exc_cols].set(
+                        jnp.where(ss_exc > 0, n11e, t11[:, exc_cols]))
+                    t22 = t22n.at[:, exc_cols].set(
+                        jnp.where(ss_exc > 0, n22e, t22[:, exc_cols]))
+                    t12 = t12n.at[:, exc_cols].set(
+                        jnp.where(ss_exc > 0, n12e, t12[:, exc_cols]))
+                    if metric:
+                        stacked = jnp.stack([pu, pv, mu, mv], axis=-1)
+                    else:
+                        stacked = jnp.stack([pu, pv], axis=-1)
+                    div_u, div_v = vpn.divergence_finish(
+                        pt, panel_n, stacked, t11, t22, t12,
+                        solve_velocity, metric)
+                    u, v = momentum_update(u, v, div_u, div_v)
+                    u, v = halo_exchange_vertex(u, v)
+                    return (u, v, t11, t22, t12)
                 if use_panel:
                     e11, e22, e12 = vpn.strain_tensor_P(
                         dyn.panel, panel_n, u, v, metric)

@@ -301,12 +301,11 @@ def strain_tensor_P(pt: PanelTensors, N: int, u, v,
     return e11, e22, e12
 
 
-def stress_divergence_P(pt: PanelTensors, N: int, s11, s22, s12,
-                        solve_velocity, include_metric: bool = False):
-    """Stress divergence at vertices via flat panel shifts.  s** are
-    padded slot-indexed [6, npc]; returns real (du, dv) [nVertices]."""
-    npp = 10 * (N + 1) * (N + 1)
-    npc = s11.shape[1]
+def divergence_partials(pt: PanelTensors, s11, s22, s12,
+                        include_metric: bool = False):
+    """Cell-side partial products feeding the dual accumulation
+    (split out so the Pallas fused kernel can produce them directly).
+    Returns stacked [6, npc, F] (F=4 with metric)."""
     bu = pt.basis_int_S[:, 0]
     bv = pt.basis_int_S[:, 1]
     pu = (s11[:, None, :] * bu).sum(0) + (s12[:, None, :] * bv).sum(0)
@@ -314,9 +313,27 @@ def stress_divergence_P(pt: PanelTensors, N: int, s11, s22, s12,
     if include_metric:
         mu = (s12[:, None, :] * pt.basis_metric_S).sum(0)
         mv = (s11[:, None, :] * pt.basis_metric_S).sum(0)
-        stacked = jnp.stack([pu, pv, mu, mv], axis=-1)  # [6, npc, F]
-    else:
-        stacked = jnp.stack([pu, pv], axis=-1)
+        return jnp.stack([pu, pv, mu, mv], axis=-1)
+    return jnp.stack([pu, pv], axis=-1)
+
+
+def stress_divergence_P(pt: PanelTensors, N: int, s11, s22, s12,
+                        solve_velocity, include_metric: bool = False):
+    """Stress divergence at vertices via flat panel shifts.  s** are
+    padded slot-indexed [6, npc]; returns real (du, dv) [nVertices]."""
+    stacked = divergence_partials(pt, s11, s22, s12, include_metric)
+    return divergence_finish(pt, N, stacked, s11, s22, s12,
+                             solve_velocity, include_metric)
+
+
+def divergence_finish(pt: PanelTensors, N: int, stacked,
+                      s11, s22, s12, solve_velocity,
+                      include_metric: bool = False):
+    """Ghost refresh + dual accumulation + exception scatter +
+    momentum-ready (du, dv).  `stacked` [6, npc, F] are the cell-side
+    partials; s** are needed only for the exception columns."""
+    npp = 10 * (N + 1) * (N + 1)
+    npc = s11.shape[1]
     F = stacked.shape[-1]
     # seam ghost refresh within the padded arrays (in-place scatter:
     # XLA aliases the buffer inside the subcycle loop, touching only
@@ -376,3 +393,43 @@ def stress_divergence_P(pt: PanelTensors, N: int, s11, s22, s12,
     du = jnp.where(solve_velocity > 0, du / pt.denominator, 0.0)
     dv = jnp.where(solve_velocity > 0, dv / pt.denominator, 0.0)
     return du, dv
+
+
+# -- Pallas-path helpers ------------------------------------------------------
+
+def vertex_planes_ext(pt: PanelTensors, N: int, u, v,
+                      include_metric: bool, nppe: int):
+    """Field-major extended vertex planes [2(t), F, nppe] for the
+    fused cell kernel: the plane gather of `_vertex_planes` transposed
+    to keep the long panel axis minor, zero-extended by pad0 = N+1 at
+    the front and to `nppe` total."""
+    pad0 = N + 1
+    npp = 10 * pad0 * pad0
+    uv = jnp.stack([u, v], axis=-1)
+    if include_metric:
+        uv = jnp.concatenate([uv, pt.tan_lat_vertex[:, None]], axis=-1)
+    F = uv.shape[-1]
+    uv1 = jnp.concatenate([jnp.zeros((1, F), uv.dtype), uv], axis=0)
+    planes = uv1[pt.plane_src].reshape(2, npp, F)
+    pm = jnp.moveaxis(planes, 2, 1)                  # [2, F, npp]
+    return jnp.pad(pm, ((0, 0), (0, 0), (pad0, nppe - npp - pad0)))
+
+
+def exception_strain(pt: PanelTensors, u, v,
+                     include_metric: bool = False):
+    """Ring-indexed strain for the 12 exception cells (the tiny
+    gather path shared by the XLA and Pallas formulations)."""
+    uve = jnp.stack([u, v], axis=-1)[pt.exc_voc] * \
+        pt.exc_mask[..., None]
+    ue, ve = uve[..., 0], uve[..., 1]
+    egx = pt.exc_basis_grad[:, 0]
+    egy = pt.exc_basis_grad[:, 1]
+    x11 = (ue[:, None, :] * egx).sum(0)
+    x22 = (ve[:, None, :] * egy).sum(0)
+    x12 = 0.5 * ((ue[:, None, :] * egy).sum(0) +
+                 (ve[:, None, :] * egx).sum(0))
+    if include_metric:
+        tle = pt.tan_lat_vertex[pt.exc_voc] * pt.exc_mask
+        x11 = x11 - ve * tle
+        x12 = x12 + 0.5 * ue * tle
+    return x11, x22, x12

@@ -196,6 +196,20 @@ class SeaIceModel:
                              StrainScheme)
         from .dynamics.pallas_evp import basis_is_cell_constant
         fast = self.tensors.dynamics.fast
+        # spherical panel meshes use the fused CELL kernel
+        # (dynamics/pallas_panel.py): metric terms supported, basis
+        # streamed per block
+        if self.tensors.dynamics.panel is not None and \
+                getattr(self.mesh, "panel_layout", None) is not None:
+            return (halo_exchange_vertex is None
+                    and v.strain_scheme == StrainScheme.VARIATIONAL
+                    and v.constitutive_relation ==
+                    ConstitutiveRelation.EVP
+                    and not v.average_variational_strains
+                    and (self.dtype == jnp.float32
+                         or jax.default_backend() != "tpu")
+                    and (want is True
+                         or jax.default_backend() == "tpu"))
         eligible = (
             raster is not None and not getattr(raster, "periodic", False)
             and halo_exchange_vertex is None
