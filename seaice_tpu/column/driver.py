@@ -259,12 +259,6 @@ class ColumnPhysics:
                     kwargs = dict(apnd=fpond, hpnd=hpnd)
             if self.use_snow_tracers and "snowGrainRadius" in tracers:
                 kwargs["rsnw"] = tracers["snowGrainRadius"]
-            if self.use_snicar:
-                from .snicar import shortwave_snicar
-                return shortwave_snicar(
-                    aicen, vicen, vsnon, tsfc, coszen,
-                    swvdr, swvdf, swidr, swidf, self.ni, self.ns,
-                    **kwargs)
             if self.n_aerosols and "snowScatteringAerosol" in tracers:
                 # bulk aerosol mass paths (reference aero_mp
                 # :1417-1428): per-volume tracers * snow/ice volume
@@ -278,6 +272,12 @@ class ColumnPhysics:
                      vicen[..., None],
                      tracers["iceBodyAerosol"] * vicen[..., None]],
                     axis=-1)
+            if self.use_snicar:
+                from .snicar import shortwave_snicar
+                return shortwave_snicar(
+                    aicen, vicen, vsnon, tsfc, coszen,
+                    swvdr, swvdf, swidr, swidf, self.ni, self.ns,
+                    **kwargs)
             return shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
                                   swvdr, swvdf, swidr, swidf,
                                   self.ni, self.ns, **kwargs)

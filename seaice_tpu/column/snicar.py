@@ -29,8 +29,13 @@ import jax.numpy as jnp
 
 from . import constants as c
 from .dedd import (ALBOCN_DF, ALBOCN_DR, HS_SSL, HI_SSL, HS_MIN_SW,
-                   HPMIN, _tune_iops, FP_ICE, FM_ICE, solve_dedd_column,
-                   shortwave_dedd)
+                   HPMIN, _mix_aerosol, _tune_iops, FP_ICE, FM_ICE,
+                   solve_dedd_column, shortwave_dedd)
+
+# 5-band -> 3-band aerosol-table mapping (vis; NIR split) used until
+# exact 5-band aerosol optics (kaer_tab_5bd etc. from the SNICAR file)
+# are installed via set_aerosol_optics_5bd
+_AER_BAND3 = (0, 1, 1, 2, 2)
 
 NSPINT_5BD = 5
 
@@ -143,6 +148,7 @@ def shortwave_snicar(aicen, vicen, vsnon, Tsfcn, coszen,
                      swvdr, swvdf, swidr, swidf,
                      n_ice_layers: int, n_snow_layers: int = 1,
                      apnd=None, hpnd=None, rsnw=None,
+                     aero_mp_snow=None, aero_mp_ice=None,
                      R_ice: float = 0.0, R_pnd: float = 0.0,
                      rhos_eff=None):
     """5-band SNICAR shortwave for the snow-covered fraction, blended
@@ -177,11 +183,13 @@ def shortwave_snicar(aicen, vicen, vsnon, Tsfcn, coszen,
     #   final = base + fs * (snow5 - bare3)
     base = shortwave_dedd(aicen, vicen, jnp.zeros_like(vsnon), Tsfcn,
                           coszen, swvdr, swvdf, swidr, swidf, ni, ns_l,
-                          apnd=apnd, hpnd=hpnd, R_ice=R_ice,
+                          apnd=apnd, hpnd=hpnd,
+                          aero_mp_ice=aero_mp_ice, R_ice=R_ice,
                           R_pnd=R_pnd)
     bare3 = shortwave_dedd(aicen, vicen, jnp.zeros_like(vsnon), Tsfcn,
                            coszen, swvdr, swvdf, swidr, swidf, ni, ns_l,
-                           R_ice=R_ice, R_pnd=R_pnd) \
+                           aero_mp_ice=aero_mp_ice, R_ice=R_ice,
+                           R_pnd=R_pnd) \
         if apnd is not None else base
 
     # snow grain radius rows (tracer, else the SNICAR fresh radius)
@@ -254,6 +262,29 @@ def shortwave_snicar(aicen, vicen, vsnon, Tsfcn, coszen,
                 taus.append(ki_int * dz_i)
                 w0s.append(jnp.full_like(aicen, wi_int))
                 gls.append(jnp.full_like(aicen, GI_INT_5[b]))
+
+            # bulk aerosol mixing (reference compute_dEdd_5bd aerosol
+            # sections; 3-band tables mapped onto the 5 bands)
+            b3 = _AER_BAND3[b]
+            if aero_mp_snow is not None:
+                mps = jnp.where(l_snow[..., None],
+                                aero_mp_snow[..., 0], 0.0)
+                mpb = jnp.where(l_snow[..., None],
+                                aero_mp_snow[..., 1], 0.0) / ns_l
+                taus[0], w0s[0], gls[0] = _mix_aerosol(
+                    taus[0], w0s[0], gls[0], mps, b3)
+                for k in range(1, ns_l + 1):
+                    taus[k], w0s[k], gls[k] = _mix_aerosol(
+                        taus[k], w0s[k], gls[k], mpb, b3)
+            if aero_mp_ice is not None:
+                mpi_s = aero_mp_ice[..., 0]
+                mpi_b = aero_mp_ice[..., 1] / ni
+                taus[ns_l + 1], w0s[ns_l + 1], gls[ns_l + 1] = \
+                    _mix_aerosol(taus[ns_l + 1], w0s[ns_l + 1],
+                                 gls[ns_l + 1], mpi_s, b3)
+                for k in range(ns_l + 2, K):
+                    taus[k], w0s[k], gls[k] = _mix_aerosol(
+                        taus[k], w0s[k], gls[k], mpi_b, b3)
 
             sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
                                     ALBOCN_DR[min(b, 2)],

@@ -154,3 +154,24 @@ class TestAerosolOptics:
         clean = self._run()
         dirty = self._run(aero_ice=jnp.asarray(mp))
         assert float(dirty.fswthru.mean()) < float(clean.fswthru.mean())
+
+
+def test_snicar_aerosol_darkens_snow():
+    """BC in the snow lowers the 5-band SNICAR albedo too."""
+    from seaice_tpu.column.snicar import shortwave_snicar
+    nb, ncat, ni, ns = 2, 1, 4, 1
+    a = jnp.full((nb, ncat), 0.9)
+    vi = jnp.full((nb, ncat), 1.5 * 0.9)
+    vs = jnp.full((nb, ncat), 0.25 * 0.9)
+    tsfc = jnp.full((nb, ncat), -10.0)
+    cz = jnp.full((nb, ncat), 0.6)
+    f = jnp.full((nb,), 100.0)
+    clean = shortwave_snicar(a, vi, vs, tsfc, cz, f, f, f, f, ni, ns)
+    mp = np.zeros((nb, ncat, 1, 2))
+    mp[..., 0, 0] = 5e-5
+    dirty = shortwave_snicar(a, vi, vs, tsfc, cz, f, f, f, f, ni, ns,
+                             aero_mp_snow=jnp.asarray(mp))
+    assert float(dirty.alvdr.mean()) < float(clean.alvdr.mean()) - 0.01
+    for fld in (dirty.alvdr, dirty.alidf):
+        v = np.asarray(fld)
+        assert (v >= 0.0).all() and (v <= 1.0).all()
