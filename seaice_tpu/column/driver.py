@@ -153,7 +153,8 @@ class ColumnPhysics:
                  n_snow_layers: int = 1, kcatbound: int = 0,
                  kitd: int = 1, krdg_partic: int = 1,
                  krdg_redist: int = 1, mu_rdg: float = 4.0,
-                 natmiter: int = 5, shortwave: str = "ccsm3",
+                 natmiter: int = 5, atmbndy: str = "default",
+                 shortwave: str = "ccsm3",
                  ktherm: int = 1, kstrength: int = 1,
                  pond_scheme: str = "none",
                  use_level_ice: Optional[bool] = None,
@@ -191,6 +192,9 @@ class ColumnPhysics:
         self.krdg_redist = krdg_redist
         self.mu_rdg = mu_rdg
         self.natmiter = natmiter
+        if atmbndy not in ("default", "constant"):
+            raise ValueError(f"unsupported atmbndy={atmbndy}")
+        self.atmbndy = atmbndy
         self.shortwave = shortwave
         self.ktherm = ktherm
         self.kstrength = kstrength
@@ -333,16 +337,26 @@ class ColumnPhysics:
                 use_ponds=self.pond_scheme != "none")
             Cdn_atm, Cdn_ocn = fd.Cdn_atm, fd.Cdn_ocn
 
-        # atmosphere boundary layer per category (reference :2150)
-        ab = atmo_boundary_layer(
-            tsfc, pc(atm.air_temperature), pc(atm.u_air), pc(atm.v_air),
-            pc(wind), pc(atm.air_level_height),
-            pc(atm.specific_humidity), pc(atm.air_density),
-            natmiter=self.natmiter,
-            highfreq=self.highfreq,
-            uvel=pc(uvel) if uvel is not None else None,
-            vvel=pc(vvel) if vvel is not None else None,
-            Cdn_atm=pc(Cdn_atm) if Cdn_atm is not None else None)
+        # atmosphere boundary layer per category (reference :2150);
+        # atmbndy='constant' selects the fixed-coefficient scheme
+        # (atmo_boundary_const, ice_atmo.F90:382)
+        if self.atmbndy == "constant":
+            from .atmo import atmo_constant_coefficients
+            ab = atmo_constant_coefficients(
+                tsfc, pc(atm.air_temperature), pc(atm.u_air),
+                pc(atm.v_air), pc(wind),
+                pc(atm.specific_humidity), pc(atm.air_density))
+        else:
+            ab = atmo_boundary_layer(
+                tsfc, pc(atm.air_temperature), pc(atm.u_air),
+                pc(atm.v_air),
+                pc(wind), pc(atm.air_level_height),
+                pc(atm.specific_humidity), pc(atm.air_density),
+                natmiter=self.natmiter,
+                highfreq=self.highfreq,
+                uvel=pc(uvel) if uvel is not None else None,
+                vvel=pc(vvel) if vvel is not None else None,
+                Cdn_atm=pc(Cdn_atm) if Cdn_atm is not None else None)
 
         # age / first-year tracers (reference :2186-2189)
         if self.use_ice_age and "iceAge" in at:

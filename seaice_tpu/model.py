@@ -119,6 +119,7 @@ class SeaIceModel:
                 natmiter=col.natmiter,
                 shortwave=col.shortwave,
                 ktherm=col.ktherm, kstrength=col.kstrength,
+                atmbndy=col.atmbndy,
                 pond_scheme=col.pond_scheme,
                 use_level_ice=col.use_level_ice or
                 col.pond_scheme == "lvl",

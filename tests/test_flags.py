@@ -192,3 +192,11 @@ def test_unsupported_flags_error():
         ColumnPhysics(5, 7, kstrength=2)
     with pytest.raises(ValueError):
         ColumnPhysics(5, 7, pond_scheme="bogus")
+
+
+def test_atmbndy_changes_the_answer(base):
+    """atmbndy='constant' (fixed exchange coefficients,
+    atmo_boundary_const) must alter the stepped state vs the
+    Monin-Obukhov default — kills the dead flag."""
+    st, _ = _run(ColumnConfig(atmbndy="constant"))
+    _assert_differs(st, base[0], "atmbndy=constant")
