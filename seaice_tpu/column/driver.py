@@ -29,6 +29,7 @@ import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import constants as c
@@ -154,6 +155,9 @@ class ColumnPhysics:
                  kitd: int = 1, krdg_partic: int = 1,
                  krdg_redist: int = 1, mu_rdg: float = 4.0,
                  natmiter: int = 5, atmbndy: str = "default",
+                 use_shortwave: bool = True,
+                 use_vertical_thermodynamics: bool = True,
+                 use_itd_thermodynamics: bool = True,
                  shortwave: str = "ccsm3",
                  ktherm: int = 1, kstrength: int = 1,
                  pond_scheme: str = "none",
@@ -195,6 +199,11 @@ class ColumnPhysics:
         if atmbndy not in ("default", "constant"):
             raise ValueError(f"unsupported atmbndy={atmbndy}")
         self.atmbndy = atmbndy
+        # Registry package switches (config_use_column_shortwave /
+        # _vertical_thermodynamics / _itd_thermodynamics)
+        self.use_shortwave = use_shortwave
+        self.use_vertical_thermodynamics = use_vertical_thermodynamics
+        self.use_itd_thermodynamics = use_itd_thermodynamics
         self.shortwave = shortwave
         self.ktherm = ktherm
         self.kstrength = kstrength
@@ -324,6 +333,10 @@ class ColumnPhysics:
         sw = self._step_radiation(aicen, vicen, vsnon, tsfc, coszen,
                                   atm.sw_vis_dir, atm.sw_vis_dif,
                                   atm.sw_ir_dir, atm.sw_ir_dif, tracers)
+        if not self.use_shortwave:
+            # package off (config_use_column_shortwave=false): no
+            # absorbed/transmitted shortwave anywhere
+            sw = jax.tree.map(jnp.zeros_like, sw)
 
         # form drag from the pack geometry (reference :2102, Tsamados)
         Cdn_atm = Cdn_ocn = None
@@ -405,23 +418,30 @@ class ColumnPhysics:
         rsnw = st.get("snowGrainRadius")
 
         # vertical thermodynamics (therm1) with ktherm dispatch
-        tv = thermo_vertical(
-            dt, aicen, vicen, vsnon, tsfc, qin, qsn,
-            (sin if ktherm == 2 else
-             jnp.broadcast_to(jnp.asarray(self.salin, qin.dtype),
-                              qin.shape)),
-            flw=pc(atm.longwave_down), potT=pc(atm.air_temperature),
-            Qa=pc(atm.specific_humidity), rhoa=pc(atm.air_density),
-            fsnow=pc(atm.snow_rate), fbot=fbot,
-            Tbot=pc(Tbot),
-            fswsfc=sw.fswsfc, fswint=sw.fswint,
-            Sswabs=sw.Sswabs, Iswabs=sw.Iswabs,
-            shcoef=ab.shcoef, lhcoef=ab.lhcoef,
-            ktherm=ktherm,
-            sss=pc(ocn.sss) if ktherm == 2 else None,
-            frain=pc(atm.rain_rate),
-            apond=apond_cat, hpond=hpnd,
-            smice=smice, smliq=smliq, rsnw=rsnw)
+        if self.use_vertical_thermodynamics:
+            tv = thermo_vertical(
+                dt, aicen, vicen, vsnon, tsfc, qin, qsn,
+                (sin if ktherm == 2 else
+                 jnp.broadcast_to(jnp.asarray(self.salin, qin.dtype),
+                                  qin.shape)),
+                flw=pc(atm.longwave_down),
+                potT=pc(atm.air_temperature),
+                Qa=pc(atm.specific_humidity), rhoa=pc(atm.air_density),
+                fsnow=pc(atm.snow_rate), fbot=fbot,
+                Tbot=pc(Tbot),
+                fswsfc=sw.fswsfc, fswint=sw.fswint,
+                Sswabs=sw.Sswabs, Iswabs=sw.Iswabs,
+                shcoef=ab.shcoef, lhcoef=ab.lhcoef,
+                ktherm=ktherm,
+                sss=pc(ocn.sss) if ktherm == 2 else None,
+                frain=pc(atm.rain_rate),
+                apond=apond_cat, hpond=hpnd,
+                smice=smice, smliq=smliq, rsnw=rsnw)
+        else:
+            # package off: therm1 skipped, state passes through
+            from .vertical import thermo_vertical_noop
+            tv = thermo_vertical_noop(aicen, vicen, vsnon, tsfc,
+                                      qin, qsn, sin)
 
         aicen2 = aicen
         vicen2 = tv.hin * aicen
@@ -554,30 +574,39 @@ class ColumnPhysics:
         fresh = tv.freshn.sum(-1)
         fsalt = tv.fsaltn.sum(-1)
 
-        # frazil formation (therm2; reference column.F:2086-2460)
-        ni_res = add_new_ice(dt, self.hin_max, aicen2, vicen2, at2, it2,
-                             ocn.frzmlt, ocn.freezing_temperature,
-                             self.salin,
-                             dilute_ponds=self.pond_scheme in
-                             ("cesm", "topo"))
-        aicen2, vicen2 = ni_res.aicen, ni_res.vicen
-        at2, it2 = ni_res.area_tracers, ni_res.ice_tracers
-        fresh = fresh + ni_res.dfresh
-        fsalt = fsalt + ni_res.dfsalt
+        # therm2 (frazil + lateral melt + ITD remap), gated by the
+        # config_use_column_itd_thermodynamics package switch
+        frazil_diag = jnp.zeros_like(aice)
+        meltl_diag = jnp.zeros_like(aice)
+        if self.use_itd_thermodynamics:
+            # frazil formation (therm2; reference column.F:2086-2460)
+            ni_res = add_new_ice(
+                dt, self.hin_max, aicen2, vicen2, at2, it2,
+                ocn.frzmlt, ocn.freezing_temperature,
+                self.salin,
+                dilute_ponds=self.pond_scheme in ("cesm", "topo"))
+            aicen2, vicen2 = ni_res.aicen, ni_res.vicen
+            at2, it2 = ni_res.area_tracers, ni_res.ice_tracers
+            fresh = fresh + ni_res.dfresh
+            fsalt = fsalt + ni_res.dfsalt
 
-        # lateral melt
-        lm = lateral_melt(dt, aicen2, vicen2, vsnon2,
-                          it2["iceEnthalpy"], st2["snowEnthalpy"], rside)
-        aicen2, vicen2, vsnon2 = lm.aicen, lm.vicen, lm.vsnon
-        fresh = fresh + lm.dfresh
-        fsalt = fsalt + lm.dfsalt
-        fhocn = fhocn + lm.dfhocn
+            # lateral melt
+            lm = lateral_melt(dt, aicen2, vicen2, vsnon2,
+                              it2["iceEnthalpy"], st2["snowEnthalpy"],
+                              rside)
+            aicen2, vicen2, vsnon2 = lm.aicen, lm.vicen, lm.vsnon
+            fresh = fresh + lm.dfresh
+            fsalt = fsalt + lm.dfsalt
+            fhocn = fhocn + lm.dfhocn
 
-        # ITD linear remap between categories
-        if ncat > 1:
-            (aicen2, vicen2, vsnon2, at2, it2, st2) = linear_itd_remap(
-                self.hin_max, aicen_init, vicen_init,
-                aicen2, vicen2, vsnon2, at2, it2, st2)
+            # ITD linear remap between categories
+            if ncat > 1:
+                (aicen2, vicen2, vsnon2, at2, it2,
+                 st2) = linear_itd_remap(
+                    self.hin_max, aicen_init, vicen_init,
+                    aicen2, vicen2, vsnon2, at2, it2, st2)
+            frazil_diag = ni_res.frazil
+            meltl_diag = lm.meltl
 
         # cleanup tiny categories
         (aicen2, vicen2, vsnon2, at2, it2, st2, dfresh_z,
@@ -589,9 +618,10 @@ class ColumnPhysics:
         fluxes = ColumnFluxes(
             fresh=fresh, fsalt=fsalt, fhocn=fhocn, fswthru=fswthru,
             evap=evap, fsens=fsens, flat=flat, flwout=flwout,
-            congel=agg(tv.congel), frazil=ni_res.frazil,
+            congel=agg(tv.congel), frazil=frazil_diag,
             snoice=agg(tv.snoice), meltt=agg(tv.meltt),
-            meltb=agg(tv.meltb), melts=agg(tv.melts), meltl=lm.meltl,
+            meltb=agg(tv.meltb), melts=agg(tv.melts),
+            meltl=meltl_diag,
             albedo_vis_dir=agg(sw.alvdr), albedo_ir_dir=agg(sw.alidr),
             albedo_vis_dif=agg(sw.alvdf), albedo_ir_dif=agg(sw.alidf),
             fpond=fpond / dt, faero_ocn=faero_ocn,

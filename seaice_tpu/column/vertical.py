@@ -648,3 +648,23 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
                if hpond is not None else None),
         smice=ml(th.smice, smice), smliq=ml(th.smliq, smliq),
         rsnw=ml(th.rsnw, rsnw))
+
+
+def thermo_vertical_noop(aicen, vicen, vsnon, tsfc, zqin, zqsn, zSin
+                         ) -> ThermoVerticalResult:
+    """Identity ThermoVerticalResult (config_use_column_vertical_
+    thermodynamics=false: the timestep skips therm1; state passes
+    through unchanged, all tendencies/fluxes zero)."""
+    a_ok = aicen > c.PUNY
+    safe = jnp.where(a_ok, aicen, 1.0)
+    z = jnp.zeros_like(aicen)
+    return ThermoVerticalResult(
+        Tsf=tsfc,
+        hin=jnp.where(a_ok, vicen / safe, 0.0),
+        hsn=jnp.where(a_ok, vsnon / safe, 0.0),
+        zqin=zqin, zqsn=zqsn, zSin=zSin,
+        fsensn=z, flatn=z, flwoutn=z, fsurfn=z, fcondtopn=z,
+        fhocnn=z, freshn=z, fsaltn=z, evapn=z,
+        meltt=z, melts=z, meltb=z, congel=z, snoice=z,
+        converged=jnp.ones_like(aicen, bool), dsnow=z, meltsliq=z,
+        hpond=None, smice=None, smliq=None, rsnw=None)

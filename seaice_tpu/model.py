@@ -120,6 +120,10 @@ class SeaIceModel:
                 shortwave=col.shortwave,
                 ktherm=col.ktherm, kstrength=col.kstrength,
                 atmbndy=col.atmbndy,
+                use_shortwave=col.use_shortwave,
+                use_vertical_thermodynamics=
+                col.use_vertical_thermodynamics,
+                use_itd_thermodynamics=col.use_itd_thermodynamics,
                 pond_scheme=col.pond_scheme,
                 use_level_ice=col.use_level_ice or
                 col.pond_scheme == "lvl",

@@ -200,3 +200,14 @@ def test_atmbndy_changes_the_answer(base):
     Monin-Obukhov default — kills the dead flag."""
     st, _ = _run(ColumnConfig(atmbndy="constant"))
     _assert_differs(st, base[0], "atmbndy=constant")
+
+
+def test_package_switches_change_the_answer(base):
+    """config_use_column_shortwave / _vertical_thermodynamics /
+    _itd_thermodynamics package switches must each alter the stepped
+    state (they gated nothing before round 2)."""
+    for kw in ({"use_shortwave": False},
+               {"use_vertical_thermodynamics": False},
+               {"use_itd_thermodynamics": False}):
+        st, _ = _run(ColumnConfig(**kw))
+        _assert_differs(st, base[0], str(kw))
