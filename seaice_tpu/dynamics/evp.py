@@ -495,6 +495,14 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         mass = aggregate_mass(ice_area_cat, ice_volume_cat, snow_volume_cat)
         (solve_stress, solve_velocity, total_mass, mass_vertex,
          area_vertex) = _computation_masks(mass, forcing, dyn)
+        if not v_cfg.calc_velocity_masks:
+            # config_calc_velocity_masks=false: the dynamic ice-presence
+            # masks are NOT recomputed (velocity_solver.F:897-900) —
+            # solve everywhere the geometry allows
+            solve_stress = jnp.ones_like(solve_stress)
+            solve_velocity = jnp.where(
+                dyn.mesh.interior_vertex > 0, 1.0, 0.0).astype(
+                solve_velocity.dtype)
         # the solveStress neighbor-max and the vertex masks reach one ring
         # beyond the halo: refresh from their owners
         solve_stress = halo_exchange_cell_field(solve_stress)

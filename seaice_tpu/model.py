@@ -268,6 +268,8 @@ class SeaIceModel:
             remap_step = make_remap_step(
                 tree, self.mesh.vertex_degree,
                 monotonic=cfg.advection.monotonic)
+        adv_checks = (cfg.advection.conservation_check or
+                      cfg.advection.monotonicity_check)
         if use_upwind:
             from .transport.upwind import make_upwind_step
             upwind_step = make_upwind_step(tree)
@@ -322,10 +324,45 @@ class SeaIceModel:
                         tr["snowVolumeCategory"],
                         pressure_in=pressure_in)
                 if use_remap:
+                    if adv_checks:
+                        from .transport.remap import (
+                            global_conserved_sums, local_extrema)
+                        pre_sums = (global_conserved_sums(
+                            tree, tr, tensors.area_cell)
+                            if cfg.advection.conservation_check
+                            else None)
+                        pre_ext = (local_extrema(
+                            tree, tr, tensors.mesh.cells_on_cell,
+                            tensors.mesh.cells_on_cell_mask)
+                            if cfg.advection.monotonicity_check
+                            else None)
                     tr = remap_step(
                         tensors.remap, tensors.mesh.cells_on_cell,
                         tensors.mesh.cells_on_cell_mask, tensors.area_cell,
                         tr, vel.u_velocity, vel.v_velocity, dt_dyn)
+                    if adv_checks:
+                        # runtime self-checks (reference optional IR
+                        # checks, ..._incremental_remap.F:8126,8416)
+                        if pre_sums is not None:
+                            post = global_conserved_sums(
+                                tree, tr, tensors.area_cell)
+                            err = jnp.stack([
+                                jnp.abs(post[k] - pre_sums[k]) /
+                                jnp.maximum(jnp.abs(pre_sums[k]),
+                                            1e-30)
+                                for k in pre_sums]).max()
+                            diags["ir_conservation_error"] = jnp.maximum(
+                                diags.get("ir_conservation_error", 0.0),
+                                err)
+                        if pre_ext is not None:
+                            from .transport.remap import (
+                                monotonicity_violation)
+                            viol = monotonicity_violation(
+                                tree, tr, *pre_ext)
+                            diags["ir_monotonicity_violation"] = \
+                                jnp.maximum(diags.get(
+                                    "ir_monotonicity_violation", 0.0),
+                                    viol)
                 elif use_upwind:
                     tr = upwind_step(
                         tensors.upwind, tensors.area_cell, tr,

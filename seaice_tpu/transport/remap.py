@@ -810,3 +810,43 @@ def global_conserved_sums(tree: TracerTree, state, area_cell):
         extra = p.ndim - 1
         out[name] = (p * _expand(area_cell, extra)).sum()
     return out
+
+
+def local_extrema(tree: TracerTree, state, cells_on_cell,
+                  cells_on_cell_mask):
+    """Per-cell pre-remap neighborhood [min, max] for each TRACER
+    (reference monotonicity-check setup :8416-8700).  Mass fields are
+    excluded: convergent flow concentrates mass legitimately."""
+    fields = to_transport_fields(tree, state)
+    coc = jnp.maximum(cells_on_cell, 0)
+    m = cells_on_cell_mask
+    lo, hi = {}, {}
+    for spec in tree.specs:
+        if spec.parent is None or spec.stored_as_product:
+            continue
+        f = fields[spec.name]
+        nb = f[coc]                                  # [nC, K, ...]
+        extra = f.ndim - 1
+        mm = _expand(m, extra)
+        big = jnp.asarray(jnp.inf, f.dtype)
+        nb_lo = jnp.where(mm > 0, nb, big).min(axis=1)
+        nb_hi = jnp.where(mm > 0, nb, -big).max(axis=1)
+        lo[spec.name] = jnp.minimum(nb_lo, f)
+        hi[spec.name] = jnp.maximum(nb_hi, f)
+    return lo, hi
+
+
+def monotonicity_violation(tree: TracerTree, state, lo, hi,
+                           tol: float = 1e-10):
+    """Largest overshoot of any tracer beyond its pre-remap local
+    bounds (0 when the limiter held; reference check :8416)."""
+    fields = to_transport_fields(tree, state)
+    worst = jnp.asarray(0.0)
+    for name in lo:
+        f = fields[name]
+        scale = jnp.maximum(jnp.abs(hi[name]), 1.0)
+        over = jnp.maximum(f - hi[name], 0.0) / scale
+        under = jnp.maximum(lo[name] - f, 0.0) / scale
+        worst = jnp.maximum(worst,
+                            jnp.maximum(over.max(), under.max()))
+    return jnp.maximum(worst - tol, 0.0)

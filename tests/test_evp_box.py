@@ -150,3 +150,33 @@ def test_implicit_vp_solver():
     corr = np.corrcoef(u_evp[mask], u_vp[mask])[0, 1]
     assert corr > 0.8, corr
     assert float(d_vp["vp_residual_norm"]) < 10.0
+
+
+def test_calc_velocity_masks_flag():
+    """calc_velocity_masks=False solves everywhere the geometry allows
+    instead of only under ice (reference velocity_solver.F:897) — the
+    answer differs where the pack has open water."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from seaice_tpu.config import box_test_config
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.testcases import box
+
+    outs = {}
+    for flag in (True, False):
+        cfg = box_test_config(elastic_subcycles=4)
+        cfg = dataclasses.replace(cfg, velocity=dataclasses.replace(
+            cfg.velocity, calc_velocity_masks=flag))
+        mesh = box.box_test_mesh(8, 8)
+        mesh.f_vertex = box.box_coriolis_parameter(mesh)
+        model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+        area, vol, snow = box.box_initial_state(mesh, 1)
+        # open water strip: zero ice in the left third
+        area = np.asarray(area)
+        area[np.asarray(mesh.x_cell) < 0.3 * box.BOX_LX] = 0.0
+        state = model.init_state(jnp.asarray(area), vol, snow)
+        st, _ = model.make_step()(model.tensors, state,
+                                  box.box_forcing(mesh, t=0.0))
+        outs[flag] = np.asarray(st.velocity.u_velocity)
+    assert not np.allclose(outs[True], outs[False])

@@ -259,3 +259,32 @@ def test_native_stencil_matches_python():
             a = np.asarray(getattr(g_nat, f))
             b = np.asarray(getattr(g_py, f))
             assert np.array_equal(a, b), f
+
+
+def test_runtime_self_checks_in_model():
+    """conservation_check/monotonicity_check flags wire the IR runtime
+    self-checks into the step diagnostics (reference optional checks,
+    ..._incremental_remap.F:8126,8416)."""
+    import dataclasses
+    import jax
+    from seaice_tpu.config import box_test_config
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.testcases import box
+
+    from seaice_tpu.config import AdvectionType
+    cfg = box_test_config(elastic_subcycles=2)
+    cfg = dataclasses.replace(cfg, advection=dataclasses.replace(
+        cfg.advection,
+        advection_type=AdvectionType.INCREMENTAL_REMAP,
+        conservation_check=True,
+        monotonicity_check=True))
+    mesh = box.box_test_mesh(8, 8)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    area, vol, snow = box.box_initial_state(mesh, 1)
+    state = model.init_state(area, vol, snow)
+    step = model.make_step()
+    out, diags = step(model.tensors, state,
+                      box.box_forcing(mesh, t=0.0))
+    assert float(diags["ir_conservation_error"]) < 1e-11
+    assert float(diags["ir_monotonicity_violation"]) == 0.0
