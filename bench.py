@@ -19,6 +19,16 @@ throughput for the identical physics at the same precision (f32).
 """
 
 import json
+
+# persistent XLA compilation cache: repeat bench runs skip the
+# multi-minute full-physics compile
+os_cache = __import__("os")
+os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                            "/tmp/jax_cache")
+os_cache.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os_cache.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import os
 import subprocess
 import sys

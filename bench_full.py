@@ -16,6 +16,16 @@ Prints one JSON line per measured config.
 """
 
 import json
+
+# persistent XLA compilation cache: repeat bench runs skip the
+# multi-minute full-physics compile
+os_cache = __import__("os")
+os_cache.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                            "/tmp/jax_cache")
+os_cache.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os_cache.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import os
 import sys
 import time
