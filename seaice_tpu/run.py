@@ -43,13 +43,21 @@ class StandaloneRunner:
                  atmos_forcing: Optional[CoreAtmosForcing] = None,
                  ocean_forcing: Optional[NcarOceanForcing] = None,
                  clock: Optional[ModelClock] = None,
-                 streams: Optional[RunStreams] = None):
+                 streams: Optional[RunStreams] = None,
+                 analysis=None):
+        """analysis: optional AnalysisDriver whose members run on their
+        own alarms inside the time loop (reference analysis-driver
+        integration, mpas_seaice_core.F timeLoop :321-331)."""
         self.model = model
         self.state = state
         self.atmos = atmos_forcing
         self.ocean = ocean_forcing
         self.clock = clock or ModelClock()
         self.streams = streams or RunStreams()
+        self.analysis = analysis
+        if analysis is not None:
+            analysis.bootstrap(model, state)
+            analysis.init(model, state)
         self.step_fn = model.make_step(jit=False)
         self.timers = PhaseTimers()
         self._out_alarm = Alarm(self.streams.output_interval)
@@ -231,6 +239,11 @@ class StandaloneRunner:
                         checks, self.state, self.clock.timestamp(),
                         run_dir=self.streams.restart_dir,
                         cell_masks=cell_masks)
+
+            if self.analysis is not None:
+                with self.timers.time("analysis"):
+                    self.analysis.on_timestep(self.model, self.state,
+                                              self.clock, diags)
 
             if self.streams.output is not None and \
                     self._out_alarm.is_ringing(self.clock):

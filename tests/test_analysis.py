@@ -212,3 +212,55 @@ def test_full_member_roster():
     assert np.isfinite(geo["uVelocityGeo"]).all()
     shelf = drv.result("ice_shelves")
     assert shelf["iceAreaShelf"] == 0.0     # no land-ice mask set
+
+
+def test_runner_drives_analysis_members(tmp_path):
+    """Members run on their alarms inside StandaloneRunner's time loop
+    (the reference analysis-driver timeLoop integration)."""
+    import os
+    from seaice_tpu.analysis import AnalysisDriver, default_members
+    from seaice_tpu.forcing import ForcingSeries
+    from seaice_tpu.forcing.core import (CoreAtmosForcing,
+                                         NcarOceanForcing,
+                                         constant_series, monthly_times)
+    from seaice_tpu.io import OutputStream
+    from seaice_tpu.run import RunStreams, StandaloneRunner
+    from seaice_tpu.config import box_test_config
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.testcases import box
+
+    cfg = box_test_config(elastic_subcycles=4)
+    mesh = box.box_test_mesh(6, 6)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    area, vol, snow = box.box_initial_state(mesh, 1)
+    state = model.init_state(area, vol, snow)
+    nc = mesh.n_cells
+    six = ForcingSeries(
+        times=np.array([0.0, 180 * 86400.0]),
+        fields={"airTemperature": np.full((2, nc), 255.0),
+                "airSpecificHumidity": np.full((2, nc), 4e-4),
+                "uAirVelocity": np.full((2, nc), 4.0),
+                "vAirVelocity": np.full((2, nc), 1.0)})
+    mon = ForcingSeries(
+        times=monthly_times(),
+        fields={"cloudFraction": np.full((12, nc), 0.5),
+                "precipitationRate": np.full((12, nc), 1e-6)})
+    atmos = CoreAtmosForcing(six_hourly=six, monthly=mon,
+                             lon=np.zeros(nc),
+                             lat=np.full(nc, np.deg2rad(75.0)))
+    ocean = NcarOceanForcing(monthly=constant_series(
+        nc, seaSurfaceTemperature=-1.7, seaSurfaceSalinity=34.0,
+        seaFreezingTemperature=-1.8, oceanMixedLayerDepth=20.0,
+        uOceanVelocity=0.0, vOceanVelocity=0.0))
+    members = default_members(compute_interval=2 * 3600.0)
+    stream = OutputStream(os.path.join(tmp_path, "analysis.npz"),
+                          {"nCells": nc})
+    drv = AnalysisDriver(members, stream=stream)
+    runner = StandaloneRunner(model, state, atmos_forcing=atmos,
+                              ocean_forcing=ocean, analysis=drv)
+    runner.run(4)
+    assert "analysis" in runner.timers.totals
+    # at least one member computed results on its alarm
+    computed = [m.name for m in members if m.results]
+    assert computed, "no member produced results"
