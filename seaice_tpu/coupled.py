@@ -225,3 +225,129 @@ class CoupledDriver:
                 self.state, {"year": self.clock.year,
                              "seconds": self.clock.seconds})
             write_restart_timestamp(self.streams.restart_dir, ts)
+
+
+class ShardedCoupledDriver:
+    """CoupledDriver over a multi-device ShardedSeaIceModel: import
+    fields are scattered to shards, the sub-loop runs the sharded step
+    (per-subcycle ppermute halos inside the jit) as one lax.scan per
+    couple interval, and the interval-mean fluxes are gathered from
+    the shard owners for export (the reference's decomposed
+    ice_run_mct loop; gathers happen only at the coupler boundary,
+    exactly where the MCT rearranger sits).
+
+    Simplification vs the single-device driver: the solar zenith is
+    evaluated once per couple interval (at its midpoint semantics it
+    is the interval-start value), not per substep."""
+
+    def __init__(self, model, state, coupling_interval: float,
+                 clock: Optional[ModelClock] = None,
+                 tfrz_option: str = "minus1p8",
+                 sst_in_kelvin: bool = False):
+        self.model = model
+        self.state = state
+        self.clock = clock or ModelClock()
+        self.tfrz_option = tfrz_option
+        self.sst_in_kelvin = sst_in_kelvin
+        dt = model.cfg.run.dt
+        n_sub = coupling_interval / dt
+        if abs(n_sub - round(n_sub)) > 1e-9 or n_sub < 1:
+            raise ValueError(
+                f"coupling_interval {coupling_interval} is not an "
+                f"integer multiple of the model dt {dt}")
+        self.n_substeps = int(round(n_sub))
+        self.coupling_interval = float(coupling_interval)
+        self._advance_fn = self._build_advance()
+
+    def _build_advance(self):
+        model = self.model
+        step_fn = model.make_step(jit=False)
+        use_col = model.cfg.column.use_column_package
+
+        def fn(tensors, halo, state, dyn, atmf, ocnf, coszen):
+            def body(carry, _):
+                state, acc = carry
+                state, diags = step_fn(tensors, halo, state, dyn,
+                                       atmf, ocnf, coszen)
+                fl = diags.get("column_fluxes")
+                if fl is not None:
+                    fl_num = dataclasses.replace(fl, warnings=None)
+                    if acc is None:
+                        acc = fl_num
+                    else:
+                        acc = jax.tree.map(jnp.add, acc, fl_num)
+                return (state, acc), 0.0
+
+            # one probe step builds the accumulator structure; XLA
+            # dead-code-eliminates its values (only shapes feed zeros)
+            if use_col and atmf is not None:
+                _, probe = step_fn(tensors, halo, state, dyn, atmf,
+                                   ocnf, coszen)
+                fl0 = probe.get("column_fluxes")
+                acc0 = (_zero_fluxes_like(dataclasses.replace(
+                    fl0, warnings=None)) if fl0 is not None else None)
+            else:
+                acc0 = None
+            (state, acc), _ = jax.lax.scan(
+                body, (state, acc0), None, length=self.n_substeps)
+            mean_fl = (jax.tree.map(
+                lambda x: x / float(self.n_substeps), acc)
+                if acc is not None else None)
+            return state, mean_fl
+
+        return jax.jit(fn)
+
+    def advance(self, import_fields: Dict[str, Any]
+                ) -> Dict[str, np.ndarray]:
+        model = self.model
+        d = model.dtype
+        dyn_g, atm_g, ocn_g = import_state(
+            import_fields, model.cfg.run.dt, dtype=d,
+            tfrz_option=self.tfrz_option,
+            sst_in_kelvin=self.sst_in_kelvin)
+        dyn = jax.tree.map(
+            lambda f: jnp.asarray(model.part.scatter_cell_field(
+                np.asarray(f))), dyn_g)
+        if model.cfg.column.use_column_package:
+            atmf = model.scatter_cell_tree(atm_g)
+            ocnf = model.scatter_cell_tree(ocn_g)
+            from .column.orbital import compute_coszen
+            lat_g = getattr(model.global_mesh, "lat_cell", None)
+            if lat_g is None:
+                lat_g = np.zeros(model.global_mesh.n_cells)
+            cz_g, _ = compute_coszen(
+                jnp.asarray(lat_g, d),
+                jnp.asarray(getattr(model.global_mesh, "lon_cell",
+                                    np.zeros_like(lat_g)), d),
+                float(self.clock.day_of_year),
+                self.clock.seconds_today)
+            coszen = jnp.asarray(model.part.scatter_cell_field(
+                np.asarray(cz_g)), d)
+        else:
+            atmf = ocnf = coszen = None
+        state, mean_fl = self._advance_fn(
+            model.tensors, model.halo, self.state, dyn, atmf, ocnf,
+            coszen)
+        self.state = state
+        self.clock.advance(self.coupling_interval)
+        # gather owned rows for the export dict
+        fl_host = None
+        if mean_fl is not None:
+            def g(x):
+                if x is None:
+                    return None
+                return model.part.gather_cell_field(
+                    np.asarray(x), model.global_mesh.n_cells)
+            fl_host = jax.tree.map(g, mean_fl)
+        tr_g = model.gather_tracers(state)
+        from .model import State as _State
+        from .dynamics.evp import VelocitySolverState as _V
+        u_g, v_g = model.gather_velocity(state)
+        gstate = _State(
+            velocity=_V(u_velocity=jnp.asarray(u_g),
+                        v_velocity=jnp.asarray(v_g),
+                        stress11=None, stress22=None, stress12=None,
+                        solve_velocity_prev=None),
+            tracers={k: jnp.asarray(v) for k, v in tr_g.items()},
+            time=state.time)
+        return export_state(gstate, fl_host)

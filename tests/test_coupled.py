@@ -110,3 +110,30 @@ def test_flux_export_is_interval_mean():
     np.testing.assert_array_equal(
         np.asarray(drv.state.tracers["iceAreaCategory"]),
         np.asarray(state2.tracers["iceAreaCategory"]))
+
+
+def test_sharded_coupled_driver_matches_single_device():
+    """ShardedCoupledDriver over 4 shards reproduces the single-device
+    CoupledDriver trajectory (decomposed ice_run_mct; gathers only at
+    the coupler boundary)."""
+    from seaice_tpu.coupled import ShardedCoupledDriver
+    from seaice_tpu.parallel import ShardedSeaIceModel
+
+    model, state, mesh = _model(nx=10)
+    dt = model.cfg.run.dt
+    fields = _imports(mesh)
+    ref = CoupledDriver(model, state, coupling_interval=3 * dt)
+    out_ref = ref.advance(fields)
+
+    sm = ShardedSeaIceModel(mesh, model.cfg, 4, dtype=jnp.float64)
+    area, vol, snow = __import__(
+        "seaice_tpu.testcases.box", fromlist=["box"]
+    ).box_initial_state(mesh, n_categories=1)
+    sstate = sm.init_state(area, vol, snow)
+    drv = ShardedCoupledDriver(sm, sstate, coupling_interval=3 * dt)
+    out_s = drv.advance(fields)
+
+    for key in ("Si_ifrac", "Si_vice", "Fioi_melth", "Faii_sen"):
+        np.testing.assert_allclose(out_s[key], out_ref[key],
+                                   rtol=1e-8, atol=1e-10,
+                                   err_msg=key)
