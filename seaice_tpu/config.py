@@ -153,7 +153,6 @@ class Config:
     advection: AdvectionConfig = dataclasses.field(
         default_factory=AdvectionConfig)
     column: ColumnConfig = dataclasses.field(default_factory=ColumnConfig)
-    use_forcing: bool = False
 
     @property
     def dynamics_timestep(self) -> float:

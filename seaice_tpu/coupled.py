@@ -57,7 +57,8 @@ class CoupledDriver:
                  streams=None):
         self.model = model
         self.state = state
-        self.clock = clock or ModelClock()
+        self.clock = clock or ModelClock(
+            calendar=model.cfg.run.calendar)
         self.tfrz_option = tfrz_option
         self.sst_in_kelvin = sst_in_kelvin
         self.streams = streams
@@ -246,7 +247,8 @@ class ShardedCoupledDriver:
                  sst_in_kelvin: bool = False):
         self.model = model
         self.state = state
-        self.clock = clock or ModelClock()
+        self.clock = clock or ModelClock(
+            calendar=model.cfg.run.calendar)
         self.tfrz_option = tfrz_option
         self.sst_in_kelvin = sst_in_kelvin
         dt = model.cfg.run.dt

@@ -18,9 +18,17 @@ DAYS_PER_YEAR = 365
 @dataclasses.dataclass
 class ModelClock:
     """Noleap-calendar clock; time tracked as seconds since year start
-    plus an integer year."""
+    plus an integer year.  calendar: only the reference default
+    'gregorian_noleap'/'noleap' is supported — others hard-error
+    rather than silently running noleap."""
     year: int = 1
     seconds: float = 0.0       # seconds since start of `year`
+    calendar: str = "noleap"
+
+    def __post_init__(self):
+        if self.calendar not in ("noleap", "gregorian_noleap"):
+            raise ValueError(
+                f"unsupported calendar={self.calendar!r} (noleap only)")
 
     def copy(self) -> "ModelClock":
         return ModelClock(self.year, self.seconds)

@@ -52,7 +52,8 @@ class StandaloneRunner:
         self.state = state
         self.atmos = atmos_forcing
         self.ocean = ocean_forcing
-        self.clock = clock or ModelClock()
+        self.clock = clock or ModelClock(
+            calendar=model.cfg.run.calendar)
         self.streams = streams or RunStreams()
         self.analysis = analysis
         if analysis is not None:
