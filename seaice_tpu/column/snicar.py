@@ -36,6 +36,34 @@ from .dedd import (ALBOCN_DF, ALBOCN_DR, HS_SSL, HI_SSL, HS_MIN_SW,
 # exact 5-band aerosol optics (kaer_tab_5bd etc. from the SNICAR file)
 # are installed via set_aerosol_optics_5bd
 _AER_BAND3 = (0, 1, 1, 2, 2)
+_AER5 = None                     # (kaer, waer, gaer) [5, n_species]
+
+
+def set_aerosol_optics_5bd(kaer, waer, gaer):
+    """Install exact 5-band aerosol optics (kaer_tab_5bd /
+    waer_tab_5bd / gaer_tab_5bd from the SNICAR optics file,
+    shape [5, n_species]); replaces the 3-band band-mapping."""
+    global _AER5
+    _AER5 = (np.asarray(kaer), np.asarray(waer), np.asarray(gaer))
+
+
+def _mix_aerosol_5bd(tau, w0, g, mp, band):
+    """5-band aerosol mixing: exact tables when installed, else the
+    3-band tables mapped onto the 5 bands."""
+    if _AER5 is None:
+        return _mix_aerosol(tau, w0, g, mp, _AER_BAND3[band])
+    kaer, waer, gaer = _AER5
+    n_sp = mp.shape[-1]
+    k_t = jnp.asarray(kaer[band, :n_sp], mp.dtype)
+    w_t = jnp.asarray(waer[band, :n_sp], mp.dtype)
+    g_t = jnp.asarray(gaer[band, :n_sp], mp.dtype)
+    taer = (mp * k_t).sum(-1)
+    wa = (mp * k_t * w_t).sum(-1)
+    ga = (mp * k_t * w_t * g_t).sum(-1)
+    from . import constants as _c
+    g_new = (g * w0 * tau + ga) / jnp.maximum(w0 * tau + wa, _c.PUNY)
+    w_new = (w0 * tau + wa) / jnp.maximum(tau + taer, _c.PUNY)
+    return tau + taer, w_new, jnp.where(taer > 0.0, g_new, g)
 
 NSPINT_5BD = 5
 
@@ -265,26 +293,25 @@ def shortwave_snicar(aicen, vicen, vsnon, Tsfcn, coszen,
 
             # bulk aerosol mixing (reference compute_dEdd_5bd aerosol
             # sections; 3-band tables mapped onto the 5 bands)
-            b3 = _AER_BAND3[b]
             if aero_mp_snow is not None:
                 mps = jnp.where(l_snow[..., None],
                                 aero_mp_snow[..., 0], 0.0)
                 mpb = jnp.where(l_snow[..., None],
                                 aero_mp_snow[..., 1], 0.0) / ns_l
-                taus[0], w0s[0], gls[0] = _mix_aerosol(
-                    taus[0], w0s[0], gls[0], mps, b3)
+                taus[0], w0s[0], gls[0] = _mix_aerosol_5bd(
+                    taus[0], w0s[0], gls[0], mps, b)
                 for k in range(1, ns_l + 1):
-                    taus[k], w0s[k], gls[k] = _mix_aerosol(
-                        taus[k], w0s[k], gls[k], mpb, b3)
+                    taus[k], w0s[k], gls[k] = _mix_aerosol_5bd(
+                        taus[k], w0s[k], gls[k], mpb, b)
             if aero_mp_ice is not None:
                 mpi_s = aero_mp_ice[..., 0]
                 mpi_b = aero_mp_ice[..., 1] / ni
                 taus[ns_l + 1], w0s[ns_l + 1], gls[ns_l + 1] = \
-                    _mix_aerosol(taus[ns_l + 1], w0s[ns_l + 1],
-                                 gls[ns_l + 1], mpi_s, b3)
+                    _mix_aerosol_5bd(taus[ns_l + 1], w0s[ns_l + 1],
+                                     gls[ns_l + 1], mpi_s, b)
                 for k in range(ns_l + 2, K):
-                    taus[k], w0s[k], gls[k] = _mix_aerosol(
-                        taus[k], w0s[k], gls[k], mpi_b, b3)
+                    taus[k], w0s[k], gls[k] = _mix_aerosol_5bd(
+                        taus[k], w0s[k], gls[k], mpi_b, b)
 
             sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
                                     ALBOCN_DR[min(b, 2)],
