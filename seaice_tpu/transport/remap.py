@@ -319,16 +319,36 @@ def _expand(a, extra_dims):
     return a.reshape(a.shape + (1,) * extra_dims)
 
 
+def batched_neighbor_gather(arrs, coc):
+    """ONE neighbor gather for a list of [nC, ...] arrays (indices are
+    shared across the whole tracer tree; per-index gather cost
+    amortizes — the same layout trick as integrate_fluxes)."""
+    flats = [a.reshape(a.shape[0], -1) for a in arrs]
+    widths = [f.shape[1] for f in flats]
+    g = jnp.concatenate(flats, axis=1)[coc]          # [nC, K, F]
+    out = []
+    off = 0
+    for a, w in zip(arrs, widths):
+        out.append(g[..., off:off + w].reshape(
+            (a.shape[0], coc.shape[1]) + a.shape[1:]))
+        off += w
+    return out
+
+
 def compute_gradient(rt: RemapTensors, mesh_cells_on_cell,
-                     mesh_cells_on_cell_mask, field, field_mask, mask_cell):
+                     mesh_cells_on_cell_mask, field, field_mask, mask_cell,
+                     f_n=None, m_n=None):
     """Least-squares cell-center gradient from edge-normal differences
     (reference compute_gradient_2d/3d, :4204-4630). field: [nCells, ...];
-    returns (gx, gy) of the same shape."""
+    returns (gx, gy) of the same shape.  f_n/m_n: optional pre-gathered
+    neighbor values (batched_neighbor_gather)."""
     extra = field.ndim - 1
     coc = mesh_cells_on_cell                        # [nC, K]
     neigh_ok = mesh_cells_on_cell_mask              # [nC, K]
-    f_n = field[coc]                                # [nC, K, ...]
-    m_n = field_mask[coc]
+    if f_n is None:
+        f_n = field[coc]                            # [nC, K, ...]
+    if m_n is None:
+        m_n = field_mask[coc]
     dc = jnp.maximum(rt.dc_edge_on_cell, EPS11)
     # normal gradient along the C1->C2 edge direction, masked where either
     # side is not physically meaningful
@@ -347,15 +367,17 @@ def compute_gradient(rt: RemapTensors, mesh_cells_on_cell,
 
 def limit_gradient(rt: RemapTensors, mesh_cells_on_cell,
                    mesh_cells_on_cell_mask, field, field_mask,
-                   xb, yb, gx, gy, mask_cell):
+                   xb, yb, gx, gy, mask_cell, f_n=None, m_n=None):
     """Monotone gradient limiter (reference limit_tracer_gradient_2d/3d,
     :4802-5200): scale the gradient so reconstructed values at cell
     corners stay within the neighborhood min/max."""
     extra = field.ndim - 1
     coc = mesh_cells_on_cell
-    f_n = field[coc]                                # [nC, K, ...]
-    m_n = field_mask[coc] * _expand(
-        mesh_cells_on_cell_mask, extra)
+    if f_n is None:
+        f_n = field[coc]                            # [nC, K, ...]
+    if m_n is None:
+        m_n = field_mask[coc]
+    m_n = m_n * _expand(mesh_cells_on_cell_mask, extra)
     max_n = jnp.max(jnp.where(m_n > 0, f_n, -BIG), axis=1)
     min_n = jnp.min(jnp.where(m_n > 0, f_n, BIG), axis=1)
     max_n = jnp.maximum(max_n, field) - field
@@ -464,11 +486,20 @@ def reconstruct_fields(tree: TracerTree, fields: Dict[str, Any],
     recon = {}
     barys = {}
     centroid = (_mom(rt, "x"), _mom(rt, "y"))
+    # one shared neighbor gather for every tracer's values and masks
+    arrs = []
+    for spec in tree.specs:
+        arrs.append(fields[spec.name])
+        arrs.append(masks[spec.name])
+    gathered = batched_neighbor_gather(arrs, cells_on_cell)
+    neigh = {spec.name: (gathered[2 * i], gathered[2 * i + 1])
+             for i, spec in enumerate(tree.specs)}
     for spec in tree.specs:
         f = fields[spec.name]
         fm = masks[spec.name]
+        f_n, m_n = neigh[spec.name]
         gx, gy = compute_gradient(rt, cells_on_cell, cells_on_cell_mask,
-                                  f, fm, mask_cell)
+                                  f, fm, mask_cell, f_n=f_n, m_n=m_n)
         # parent barycenter (centroid for the root)
         if spec.parent is None:
             pxb = _expand(centroid[0], f.ndim - 1)
@@ -482,7 +513,8 @@ def reconstruct_fields(tree: TracerTree, fields: Dict[str, Any],
         pyb_b = jnp.broadcast_to(pyb, f.shape)
         if monotonic:
             gx, gy = limit_gradient(rt, cells_on_cell, cells_on_cell_mask,
-                                    f, fm, pxb_b, pyb_b, gx, gy, mask_cell)
+                                    f, fm, pxb_b, pyb_b, gx, gy,
+                                    mask_cell, f_n=f_n, m_n=m_n)
         center = f - gx * pxb_b - gy * pyb_b
         recon[spec.name] = {"center": center, "gx": gx, "gy": gy}
 
