@@ -215,7 +215,7 @@ class ColumnPhysics:
         self.use_ice_age = use_ice_age
         self.use_first_year_ice = use_first_year_ice
         self.use_snow_tracers = use_snow_tracers
-        if snwredist not in ("none", "ITDsd", "ITDrdg"):
+        if snwredist not in ("none", "bulk", "ITDsd", "ITDrdg"):
             raise ValueError(f"unsupported snwredist={snwredist}")
         self.snwredist = snwredist
         self.n_aerosols = n_aerosols
@@ -324,6 +324,15 @@ class ColumnPhysics:
             return x[..., None] * jnp.ones_like(aicen)
 
         wind = jnp.sqrt(atm.u_air ** 2 + atm.v_air ** 2)
+        # bulk '30percent' wind redistribution: a wind-dependent
+        # fraction of snowfall blows into leads before accumulating
+        # (reference snow_redist bulk branch); fsloss is booked as
+        # freshwater to the ocean via the retained-rate difference
+        snow_rate_eff = atm.snow_rate
+        if self.snwredist == "bulk":
+            from .snow import wind_snow_loss
+            snow_rate_eff, _fsloss_bulk = wind_snow_loss(
+                wind, atm.snow_rate)
 
         # shortwave partition (reference column_prep/step_radiation)
         if self.shortwave == "dEdd" and coszen is None:
@@ -427,7 +436,7 @@ class ColumnPhysics:
                 flw=pc(atm.longwave_down),
                 potT=pc(atm.air_temperature),
                 Qa=pc(atm.specific_humidity), rhoa=pc(atm.air_density),
-                fsnow=pc(atm.snow_rate), fbot=fbot,
+                fsnow=pc(snow_rate_eff), fbot=fbot,
                 Tbot=pc(Tbot),
                 fswsfc=sw.fswsfc, fswint=sw.fswint,
                 Sswabs=sw.Sswabs, Iswabs=sw.Iswabs,
@@ -572,6 +581,9 @@ class ColumnPhysics:
         evap = agg(tv.evapn)
         fhocn = agg(tv.fhocnn)
         fresh = tv.freshn.sum(-1)
+        if self.snwredist == "bulk":
+            # blown snow lands in leads -> ocean freshwater
+            fresh = fresh + (atm.snow_rate - snow_rate_eff)
         fsalt = tv.fsaltn.sum(-1)
 
         # therm2 (frazil + lateral melt + ITD remap), gated by the

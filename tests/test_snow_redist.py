@@ -135,3 +135,40 @@ def test_model_step_with_snwredist():
     for k, v in state.tracers.items():
         assert np.isfinite(np.asarray(v)).all(), k
     assert np.asarray(state.tracers["snowVolumeCategory"]).min() >= 0.0
+
+
+def test_bulk_snwredist_flag():
+    """snwredist='bulk' reduces accumulated snowfall at high wind and
+    books the blown snow as ocean freshwater."""
+    import dataclasses
+    import jax
+    from seaice_tpu.config import box_test_config
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.parallel.sharded import full_physics_inputs
+    from seaice_tpu.testcases import box
+    from seaice_tpu.utils.pytree import replace as pt_replace
+
+    outs = {}
+    for mode in ("none", "bulk"):
+        cfg = box_test_config(elastic_subcycles=2)
+        cfg = dataclasses.replace(cfg, column=dataclasses.replace(
+            cfg.column, use_column_package=True, snwredist=mode))
+        mesh = box.box_test_mesh(5, 5)
+        mesh.f_vertex = box.box_coriolis_parameter(mesh)
+        model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+        (area, vol, snow, extra, atm, ocn,
+         coszen) = full_physics_inputs(mesh, cfg, jnp.float64)
+        atm = dataclasses.replace(
+            jax.tree.map(jnp.asarray, atm),
+            u_air=jnp.full((mesh.n_cells,), 20.0),
+            snow_rate=jnp.full((mesh.n_cells,), 1e-6))
+        state = model.init_state(area, vol, snow)
+        st, diags = model.make_step()(
+            model.tensors, state, box.box_forcing(mesh, t=0.0),
+            atm, jax.tree.map(jnp.asarray, ocn),
+            coszen=jnp.asarray(coszen))
+        outs[mode] = (np.asarray(st.tracers["snowVolumeCategory"]),
+                      np.asarray(diags["column_fluxes"].fresh))
+    # high wind: bulk accumulates less snow, more ocean freshwater
+    assert outs["bulk"][0].sum() < outs["none"][0].sum()
+    assert outs["bulk"][1].sum() > outs["none"][1].sum()
