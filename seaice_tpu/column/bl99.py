@@ -309,7 +309,18 @@ def temperature_changes(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             einex / dt
         ferr = jnp.abs((enew - einit) / dt -
                        (fcondtopn - fcondbot + fswint))
-        cond5 = ferr > 0.9 * c.FERRMAX
+        # dtype-aware tolerance: enew/einit are ~1e8 J/m^2 column
+        # enthalpies, so the f32 cancellation noise floor of
+        # (enew-einit)/dt exceeds the reference's absolute FERRMAX
+        # (1e-3 W/m^2) for thick cold columns and convergence becomes
+        # unattainable; in f64 the dynamic term is ~1e-11 W/m^2 and
+        # the reference tolerance is unchanged (bitwise no-op)
+        eps = jnp.finfo(enew.dtype).eps
+        ferr_tol = jnp.maximum(
+            0.9 * c.FERRMAX,
+            4.0 * eps * jnp.maximum(jnp.abs(enew),
+                                    jnp.abs(einit)) / dt)
+        cond5 = ferr > ferr_tol
         conv = conv & ~cond5
 
         # reduce conductivity where the matrix overshot the melting point

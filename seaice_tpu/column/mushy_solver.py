@@ -426,7 +426,15 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
                                     qocn, qpond)
         ferr = jnp.abs((efinal - einit) / dt -
                        (fcondtop - fcondbot + fswint - fadv))
-        conv = (dT < DT_ERRMAX) & (ferr < 0.9 * c.FERRMAX) & ~went_melt
+        # dtype-aware energy tolerance (see bl99.py: in f32 the
+        # cancellation noise of (efinal-einit)/dt can exceed the
+        # absolute FERRMAX; exact no-op in f64)
+        eps = jnp.finfo(efinal.dtype).eps
+        ferr_tol = jnp.maximum(
+            0.9 * c.FERRMAX,
+            4.0 * eps * jnp.maximum(jnp.abs(efinal),
+                                    jnp.abs(einit)) / dt)
+        conv = (dT < DT_ERRMAX) & (ferr < ferr_tol) & ~went_melt
 
         fsurfn_out = fsurfn + (Tsf_new - Tsf) * dfsurf_dT
 
