@@ -275,3 +275,144 @@ class StandaloneRunner:
         save_checkpoint(path, self.state, {
             "year": self.clock.year, "seconds": self.clock.seconds})
         write_restart_timestamp(self.streams.restart_dir, ts)
+
+
+class ShardedStandaloneRunner:
+    """Standalone time loop over a ShardedSeaIceModel: global forcing
+    series are interpolated on the host, scattered to the shard blocks,
+    and the shard_map step (per-subcycle ppermute halos inside) runs
+    one jitted program per step; output/restart use the parallel
+    per-shard I/O (io/parallel.py) so no step ever gathers the state.
+
+    The multi-device analog of StandaloneRunner (reference: the same
+    timeLoop, run under the block decomposition)."""
+
+    def __init__(self, model, state,
+                 atmos_forcing: Optional[CoreAtmosForcing] = None,
+                 ocean_forcing: Optional[NcarOceanForcing] = None,
+                 clock: Optional[ModelClock] = None,
+                 streams: Optional[RunStreams] = None):
+        self.model = model
+        self.state = state
+        self.atmos = atmos_forcing
+        self.ocean = ocean_forcing
+        self.clock = clock or ModelClock(
+            calendar=model.cfg.run.calendar)
+        self.streams = streams or RunStreams()
+        self.timers = PhaseTimers()
+        self._out_alarm = Alarm(self.streams.output_interval)
+        self._restart_alarm = Alarm(self.streams.restart_interval)
+        self.dtype = model.dtype
+        self.step_fn = model.make_step(jit=True)
+        self._restart_seq = 0
+
+    def _forcing_blocks(self):
+        """Interpolate global series at the clock, derive fields on
+        host, scatter to blocks."""
+        model = self.model
+        d = self.dtype
+        atm_g = ocn_g = None
+        if self.ocean is not None:
+            ocn_g = self.ocean.snapshot(self.clock)
+        if self.atmos is not None:
+            tr_g = self.model.gather_tracers(self.state)
+            aice = tr_g["iceAreaCategory"].sum(-1)
+            tsfc_cat = tr_g.get("surfaceTemperature")
+            tsfc = (np.where(aice > 1e-11,
+                             (tsfc_cat * tr_g["iceAreaCategory"]
+                              ).sum(-1) / np.maximum(aice, 1e-11), 0.0)
+                    if tsfc_cat is not None else np.zeros_like(aice))
+            sst = (ocn_g.get("seaSurfaceTemperature",
+                             np.full_like(aice, -1.8))
+                   if ocn_g else np.full_like(aice, -1.8))
+            atm_g = self.atmos.snapshot(self.clock, aice, tsfc, sst)
+        # dynamics + column forcing containers (global), then scatter
+        from .column.orbital import compute_coszen
+        nc = model.global_mesh.n_cells
+
+        def g(src, k, default=0.0):
+            if src is None or k not in src:
+                return np.full(nc, default)
+            return np.asarray(src[k])
+
+        dyn_g = DynamicsForcing(
+            u_air_velocity=g(atm_g, "u_air"),
+            v_air_velocity=g(atm_g, "v_air"),
+            air_density=np.full(nc, 1.3),
+            u_ocean_velocity=g(ocn_g, "uOceanVelocity"),
+            v_ocean_velocity=g(ocn_g, "vOceanVelocity"),
+            sea_surface_tilt_u=g(ocn_g, "seaSurfaceTiltU"),
+            sea_surface_tilt_v=g(ocn_g, "seaSurfaceTiltV"),
+            land_ice_mask=np.zeros(nc))
+        npdt = np.dtype(jnp.dtype(self.dtype).name)
+        dyn = model.scatter_cell_tree(
+            jax.tree.map(lambda x: np.asarray(x, npdt), dyn_g))
+        atmf = ocnf = coszen = None
+        if model.cfg.column.use_column_package and atm_g is not None:
+            atmf_g = AtmosForcing(
+                air_temperature=g(atm_g, "air_temperature", 253.0),
+                specific_humidity=g(atm_g, "specific_humidity", 5e-4),
+                u_air=g(atm_g, "u_air"), v_air=g(atm_g, "v_air"),
+                longwave_down=g(atm_g, "longwave_down", 180.0),
+                sw_vis_dir=g(atm_g, "sw_vis_dir"),
+                sw_vis_dif=g(atm_g, "sw_vis_dif"),
+                sw_ir_dir=g(atm_g, "sw_ir_dir"),
+                sw_ir_dif=g(atm_g, "sw_ir_dif"),
+                rain_rate=g(atm_g, "rain_rate"),
+                snow_rate=g(atm_g, "snow_rate"),
+                air_density=np.full(nc, 1.3),
+                air_level_height=np.full(nc, 10.0))
+            sst = g(ocn_g, "seaSurfaceTemperature", -1.8)
+            Tf = g(ocn_g, "seaFreezingTemperature", -1.8)
+            hmix = g(ocn_g, "oceanMixedLayerDepth", 20.0)
+            ocnf_g = OceanForcing(
+                sst=sst, sss=g(ocn_g, "seaSurfaceSalinity", 34.0),
+                freezing_temperature=Tf,
+                frzmlt=np.asarray(slab_ocean_frzmlt(
+                    jnp.asarray(sst), jnp.asarray(Tf),
+                    jnp.asarray(hmix), model.cfg.run.dt)),
+                mixed_layer_depth=hmix)
+            atmf = model.scatter_cell_tree(jax.tree.map(
+                lambda x: np.asarray(x, npdt), atmf_g))
+            ocnf = model.scatter_cell_tree(jax.tree.map(
+                lambda x: np.asarray(x, npdt), ocnf_g))
+            lat = np.asarray(getattr(model.global_mesh, "lat_cell",
+                                     np.zeros(nc)))
+            lon = np.asarray(getattr(model.global_mesh, "lon_cell",
+                                     np.zeros(nc)))
+            cz, _ = compute_coszen(
+                jnp.asarray(lat, self.dtype),
+                jnp.asarray(lon, self.dtype),
+                float(self.clock.day_of_year),
+                self.clock.seconds_today)
+            coszen = jnp.asarray(model.part.scatter_cell_field(
+                np.asarray(cz)), self.dtype)
+        return dyn, atmf, ocnf, coszen
+
+    def run(self, n_steps: int):
+        model = self.model
+        dt = model.cfg.run.dt
+        for istep in range(n_steps):
+            with self.timers.time("forcing"):
+                dyn, atmf, ocnf, coszen = self._forcing_blocks()
+            with self.timers.time("timestep"):
+                self.state, diags = self.step_fn(
+                    model.tensors, model.halo, self.state, dyn,
+                    atmf, ocnf, coszen)
+                jax.block_until_ready(self.state.velocity.u_velocity)
+            self.clock.advance(dt)
+            if self.streams.restart_dir is not None and \
+                    self._restart_alarm.is_ringing(self.clock):
+                with self.timers.time("restart_write"):
+                    from .io.parallel import save_sharded_checkpoint
+                    save_sharded_checkpoint(
+                        self.streams.restart_dir,
+                        f"restart.{self.clock.timestamp()}",
+                        self.state, model.part,
+                        model.global_mesh.n_cells,
+                        model.global_mesh.n_vertices,
+                        clock_metadata={"year": self.clock.year,
+                                        "seconds": self.clock.seconds})
+                    write_restart_timestamp(self.streams.restart_dir,
+                                            self.clock.timestamp())
+        return self.state

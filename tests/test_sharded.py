@@ -302,3 +302,52 @@ def test_sharded_full_physics_matches_single_device():
         np.testing.assert_allclose(
             tr_s[name], np.asarray(rstate.tracers[name]),
             atol=1e-7, rtol=1e-5, err_msg=name)
+
+
+def test_sharded_standalone_runner(tmp_path):
+    """The multi-device run loop: scattered forcing, shard_map step,
+    per-shard parallel restart — no global gather per step."""
+    import os
+    from seaice_tpu.forcing import ForcingSeries
+    from seaice_tpu.forcing.core import (CoreAtmosForcing,
+                                         NcarOceanForcing,
+                                         constant_series, monthly_times)
+    from seaice_tpu.run import RunStreams, ShardedStandaloneRunner
+
+    cfg, mesh, area, vol, snow = _problem(nx=10)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, column=dataclasses.replace(
+        cfg.column, use_column_package=True))
+    sm = ShardedSeaIceModel(mesh, cfg, 4, dtype=jnp.float64)
+    state = sm.init_state(area, vol, snow)
+    nc = mesh.n_cells
+    six = ForcingSeries(
+        times=np.array([0.0, 180 * 86400.0]),
+        fields={"airTemperature": np.full((2, nc), 255.0),
+                "airSpecificHumidity": np.full((2, nc), 4e-4),
+                "uAirVelocity": np.full((2, nc), 4.0),
+                "vAirVelocity": np.full((2, nc), 1.0)})
+    mon = ForcingSeries(
+        times=monthly_times(),
+        fields={"cloudFraction": np.full((12, nc), 0.5),
+                "precipitationRate": np.full((12, nc), 1e-6)})
+    atmos = CoreAtmosForcing(six_hourly=six, monthly=mon,
+                             lon=np.zeros(nc),
+                             lat=np.full(nc, np.deg2rad(75.0)))
+    ocean = NcarOceanForcing(monthly=constant_series(
+        nc, seaSurfaceTemperature=-1.7, seaSurfaceSalinity=34.0,
+        seaFreezingTemperature=-1.8, oceanMixedLayerDepth=20.0,
+        uOceanVelocity=0.0, vOceanVelocity=0.0))
+    runner = ShardedStandaloneRunner(
+        sm, state, atmos_forcing=atmos, ocean_forcing=ocean,
+        streams=RunStreams(restart_dir=str(tmp_path),
+                           restart_interval=2 * cfg.run.dt))
+    out = runner.run(2)
+    tr = sm.gather_tracers(out)
+    assert np.isfinite(tr["iceAreaCategory"]).all()
+    from seaice_tpu.io.checkpoint import read_restart_timestamp
+    ts = read_restart_timestamp(str(tmp_path))
+    parts = [f for f in os.listdir(tmp_path)
+             if f.startswith(f"restart.{ts}.part-")]
+    assert len(parts) == 4          # one part per shard
+    assert "timestep" in runner.timers.totals
