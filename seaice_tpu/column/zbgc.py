@@ -102,6 +102,7 @@ class ZbgcParams:
     use_Fe: bool = False
     use_DMS: bool = False
     use_PON: bool = False
+    use_hum: bool = False           # refractory humic carbon
     n_doc: int = 2                  # polysaccharids, lipids
     # per-species (length >= n_algae; reference vectors)
     mu_max: tuple = _MU_MAX
@@ -160,6 +161,7 @@ class ZbgcParams:
     ocean_DMSPd: float = 0.1
     ocean_DMS: float = 0.1
     ocean_PON: float = 12.0         # shadows nitrate
+    ocean_hum: float = 1.0          # mmol C/m^3 (colpkg_init_ocean_conc)
     initbio_frac: float = 1.0
     frazil_scav: float = 1.0
 
@@ -186,6 +188,8 @@ class ZbgcParams:
             r.append(("DMS", 1))
         if self.use_PON:
             r.append(("PON", 1))
+        if self.use_hum:
+            r.append(("hum", 1))
         return r
 
     def index(self) -> Dict[str, slice]:
@@ -440,6 +444,10 @@ def algal_reactions(dt, C_brine, fswpen, T_bot,
         parts.append(dDMS[..., None])
     if p.use_PON:
         # PON shadows nitrate (no independent reactions, :2052-2056)
+        parts.append(jnp.zeros_like(dNit)[..., None])
+    if p.use_hum:
+        # refractory humics: transported + ocean-exchanged only (the
+        # reference's algal_dyn assigns hum no reaction term)
         parts.append(jnp.zeros_like(dNit)[..., None])
     react = jnp.concatenate(parts, axis=-1)
 
