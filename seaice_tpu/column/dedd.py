@@ -270,6 +270,12 @@ FP_PND, FM_PND = 2.00, 0.50
 HP0 = 0.200          # pond depth above which fully ponded optics
 HPMIN = 0.005        # minimum radiatively active pond depth
 HS_MIN_SW = 1.0e-4   # minimum snow depth for snow cover
+KALG = 0.6           # bottom-algae absorption (1/m per 0.5 m layer;
+                     # config_algae_absorption_coefficient,
+                     # Registry.xml:1535 — the reference always adds a
+                     # fixed kalg*0.5 m visible optical depth to the
+                     # BOTTOM ice layer when dEdd_algae is off,
+                     # ice_shortwave.F90:2386,2713-2716)
 
 
 def _tune_iops(k_mn, w_mn, R, fp, fm):
@@ -459,9 +465,19 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
         gls += [jnp.full_like(aicen, GI_SSL[b]),
                 jnp.full_like(aicen, GI_DL[b])]
         for k in range(ni - 1):
-            taus.append(ki_int * dz_i)
-            w0s.append(jnp.full_like(aicen, wi_int))
-            gls.append(jnp.full_like(aicen, GI_INT[b]))
+            if b == 0 and k == ni - 2:
+                # bottom layer, visible band: built-in algal absorption
+                # of fixed optical depth kalg*0.5 m (:2713-2716)
+                kabs = ki_int * (1.0 - wi_int) + KALG * 0.5 / dz_i
+                sig = ki_int * wi_int
+                taus.append((kabs + sig) * dz_i)
+                w0s.append(jnp.broadcast_to(
+                    sig / (sig + kabs), aicen.shape))
+                gls.append(jnp.full_like(aicen, GI_INT[b]))
+            else:
+                taus.append(ki_int * dz_i)
+                w0s.append(jnp.full_like(aicen, wi_int))
+                gls.append(jnp.full_like(aicen, GI_INT[b]))
 
         # bulk aerosol mixing into the layer optics (:2556-2650):
         # snow SSL pool -> row 0, snow body /ns_l over the body rows;
