@@ -287,9 +287,21 @@ def shortwave_snicar(aicen, vicen, vsnon, Tsfcn, coszen,
             gls += [jnp.full_like(aicen, GI_SSL_5[b]),
                     jnp.full_like(aicen, GI_DL_5[b])]
             for k in range(ni - 1):
-                taus.append(ki_int * dz_i)
-                w0s.append(jnp.full_like(aicen, wi_int))
-                gls.append(jnp.full_like(aicen, GI_INT_5[b]))
+                if b == 0 and k == ni - 2:
+                    # bottom-algae absorption, visible band (fixed
+                    # kalg*0.5 m optical depth; see dedd.KALG)
+                    from .dedd import KALG
+                    kabs = ki_int * (1.0 - wi_int) + \
+                        KALG * 0.5 / dz_i
+                    sig = ki_int * wi_int
+                    taus.append((kabs + sig) * dz_i)
+                    w0s.append(jnp.broadcast_to(
+                        sig / (sig + kabs), aicen.shape))
+                    gls.append(jnp.full_like(aicen, GI_INT_5[b]))
+                else:
+                    taus.append(ki_int * dz_i)
+                    w0s.append(jnp.full_like(aicen, wi_int))
+                    gls.append(jnp.full_like(aicen, GI_INT_5[b]))
 
             # bulk aerosol mixing (reference compute_dEdd_5bd aerosol
             # sections; 3-band tables mapped onto the 5 bands)
