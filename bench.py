@@ -135,12 +135,28 @@ def cpu_baseline(nx, n_subcycles):
 def main():
     nx = 168                           # 28,224 cells ~ QU120km ocean count
     n_subcycles = 120                  # reference default (Registry:579-582)
+    backend = "tpu"
+    # probe the axon tunnel in a SUBPROCESS (a dead tunnel makes
+    # jax.devices() hang in-process); on failure fall back to CPU and
+    # SAY SO rather than crashing — the number is then host, not chip
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=300)
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        backend = "cpu_fallback_tunnel_down"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     tpu = measure(nx, n_subcycles)
     base = cpu_baseline(nx, n_subcycles)
     print(json.dumps({
         "metric": "evp_cells_subcycles_per_s",
         "value": round(tpu, 1),
         "unit": "cells*subcycles/s/chip",
+        "backend": backend,
         "vs_baseline": round(tpu / base, 2) if base else 0.0,
     }))
 
