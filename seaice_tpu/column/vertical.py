@@ -482,6 +482,7 @@ class ThermoVerticalResult(NamedTuple):
     snoice: jnp.ndarray
     converged: jnp.ndarray
     dsnow: jnp.ndarray
+    hsn_new: jnp.ndarray             # new snowfall depth this step (m)
     meltsliq: jnp.ndarray
     hpond: Optional[jnp.ndarray]     # updated pond depth (mushy flushing)
     smice: Optional[jnp.ndarray]
@@ -643,7 +644,8 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
         meltt=m(th.meltt), melts=m(th.melts), meltb=m(th.meltb),
         congel=m(th.congel), snoice=m(snoice_tot),
         converged=converged | ~has,
-        dsnow=m(th.dsnow), meltsliq=m(th.meltsliq),
+        dsnow=m(th.dsnow), hsn_new=m(th.hsn_new),
+        meltsliq=m(th.meltsliq),
         hpond=(jnp.where(has, hpond_out, hpond)
                if hpond is not None else None),
         smice=ml(th.smice, smice), smliq=ml(th.smliq, smliq),
@@ -666,5 +668,5 @@ def thermo_vertical_noop(aicen, vicen, vsnon, tsfc, zqin, zqsn, zSin
         fsensn=z, flatn=z, flwoutn=z, fsurfn=z, fcondtopn=z,
         fhocnn=z, freshn=z, fsaltn=z, evapn=z,
         meltt=z, melts=z, meltb=z, congel=z, snoice=z,
-        converged=jnp.ones_like(aicen, bool), dsnow=z, meltsliq=z,
-        hpond=None, smice=None, smliq=None, rsnw=None)
+        converged=jnp.ones_like(aicen, bool), dsnow=z, hsn_new=z,
+        meltsliq=z, hpond=None, smice=None, smliq=None, rsnw=None)

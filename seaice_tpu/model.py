@@ -288,14 +288,16 @@ class SeaIceModel:
                  forcing: DynamicsForcing,
                  atmos: Optional[AtmosForcing] = None,
                  ocean: Optional[OceanForcing] = None,
-                 coszen=None, day_of_year=None, lat=None):
+                 coszen=None, day_of_year=None, lat=None,
+                 faero_atm=None):
             """One coupling timestep (reference seaice_timestep,
             mpas_seaice_time_integration.F:42-175): column pre-dynamics
             -> (velocity solve -> transport -> ridging) x n_sub ->
             column post-dynamics.
 
             coszen: cell cosine solar zenith (dEdd shortwave).
-            day_of_year/lat: first-year-ice tracer reset inputs."""
+            day_of_year/lat: first-year-ice tracer reset inputs.
+            faero_atm [nCells, nAero]: aerosol deposition rate."""
             tr = dict(state.tracers)
             vel = state.velocity
             diags = {}
@@ -309,7 +311,8 @@ class SeaIceModel:
                 tr, fluxes = column.step_thermodynamics(
                     cfg.run.dt, tr, atmos, ocean, coszen=coszen,
                     uvel=uvel_c, vvel=vvel_c,
-                    day_of_year=day_of_year, lat=lat)
+                    day_of_year=day_of_year, lat=lat,
+                    faero_atm=faero_atm)
             for _ in range(n_sub):
                 if cfg.velocity.use_velocity_solver:
                     pressure_in = None

@@ -325,14 +325,18 @@ class ShardedSeaIceModel:
         use_column = cfg.column.use_column_package
         use_ridging = use_column and cfg.column.use_ridging
         use_kstrength = use_column and cfg.column.kstrength == 1
+        highfreq = use_column and cfg.column.highfreq
 
         def shard_body(tensors: ModelTensors, halo: HaloMaps,
-                       state: State, forcing, atmos, ocean, coszen):
+                       state: State, forcing, atmos, ocean, coszen,
+                       day_of_year, lat, faero_atm):
             # inside shard_map: strip the leading (length-1) block axis
+            # (day_of_year is replicated — no block axis to strip)
             (tensors, halo, state, forcing, atmos, ocean,
-             coszen) = jax.tree.map(
+             coszen, lat, faero_atm) = jax.tree.map(
                 lambda x: x[0],
-                (tensors, halo, state, forcing, atmos, ocean, coszen))
+                (tensors, halo, state, forcing, atmos, ocean, coszen,
+                 lat, faero_atm))
 
             if self.halo_mode == "ring":
                 def ex_vertex(f):
@@ -393,12 +397,25 @@ class ShardedSeaIceModel:
             if use_column and atmos is not None:
                 # column physics is per-cell: each shard runs it on its
                 # owned + halo cells; halo results are bitwise identical
-                # to the owner's (same tracers + same scattered forcing),
-                # so no exchange is needed (reference runs the per-cell
-                # loop on nCellsSolve then does a tracer halo,
-                # mpas_seaice_column.F:4279)
+                # to the owner's (same tracers + same scattered forcing,
+                # and — for highfreq — the same halo-refreshed vertex
+                # velocities, since every local cell carries all of its
+                # vertices: partition.py builds vertex sets from ALL
+                # local cells), so no exchange is needed (reference runs
+                # the per-cell loop on nCellsSolve then does a tracer
+                # halo, mpas_seaice_column.F:4279)
+                uvel_c = vvel_c = None
+                if highfreq:
+                    from ..mesh.core import vertex_to_cell
+                    uvel_c = vertex_to_cell(tensors.mesh,
+                                            vel.u_velocity)
+                    vvel_c = vertex_to_cell(tensors.mesh,
+                                            vel.v_velocity)
                 tr, fluxes = column.step_thermodynamics(
-                    cfg.run.dt, tr, atmos, ocean, coszen=coszen)
+                    cfg.run.dt, tr, atmos, ocean, coszen=coszen,
+                    uvel=uvel_c, vvel=vvel_c,
+                    day_of_year=day_of_year, lat=lat,
+                    faero_atm=faero_atm)
             for _ in range(cfg.velocity.dynamics_subcycle_number):
                 if cfg.velocity.use_velocity_solver:
                     pressure_in = None
@@ -440,14 +457,15 @@ class ShardedSeaIceModel:
 
         smapped = jax.shard_map(
             shard_body, mesh=self.jax_mesh,
-            in_specs=(P(AXIS),) * 7,
+            in_specs=(P(AXIS),) * 7 + (P(), P(AXIS), P(AXIS)),
             out_specs=P(AXIS),
             check_vma=False)
 
         def step(tensors, halo, state, forcing, atmos=None, ocean=None,
-                 coszen=None):
+                 coszen=None, day_of_year=None, lat=None,
+                 faero_atm=None):
             return smapped(tensors, halo, state, forcing, atmos, ocean,
-                           coszen)
+                           coszen, day_of_year, lat, faero_atm)
 
         if jit:
             step = jax.jit(step)

