@@ -13,10 +13,15 @@ Redesign notes (TPU-first, not a port):
     scalar tridiagonal solve becomes ONE batched implicit
     advection-diffusion solve on the static (nblyr+1)-point bio grid,
     unrolled Thomas algorithm over layers, vectorized over
-    [cells, categories, tracers]; monotonicity is enforced by the
-    implicit upwind advection + positivity clipping with conservative
-    flux bookkeeping (the FCT anti-diffusion correction is omitted —
-    first-order upwind transport, documented deviation).
+    [cells, categories, tracers], followed by a Zalesak
+    flux-corrected anti-diffusion pass (`_fct_antidiffusion`) that
+    restores second-order accuracy of the advective part on interior
+    interfaces while provably preserving the local min/max bounds —
+    the same low-order-plus-limited-correction structure as the
+    reference's FCT (ice_algae.F90:794-1497), vectorized over all
+    tracers at once instead of per-tracer matrix assembly.
+    Boundary interfaces keep the low-order fluxes so the ocean
+    exchange bookkeeping is untouched.
   * Reactions implement the COMPLETE `algal_dyn` ecosystem
     (ice_algae.F90:1505-2309): up to three autotroph classes
     (diatoms / small plankton / phaeocystis) with per-species
@@ -481,6 +486,83 @@ def _thomas(a, b, cc, d):
     return jnp.stack(x[::-1], axis=-1)
 
 
+def _fct_antidiffusion(C_old, C_low, w, dt, dx):
+    """Zalesak flux-corrected anti-diffusion pass (second-order
+    advective correction of the low-order implicit-upwind solution).
+
+    The reference transports each bio tracer with flux-corrected
+    transport (ice_algae.F90:794-1497: low-order monotone fluxes plus
+    limited anti-diffusive corrections).  Here the low-order solution
+    C_low comes from the batched implicit upwind+diffusion Thomas
+    solve; this pass adds the limited difference between the
+    second-order centered advective flux and the upwind flux,
+    evaluated at C_low, on the INTERIOR interfaces only (boundary
+    interfaces keep the low-order flux so the ocean-exchange
+    bookkeeping is exact and untouched).  The Zalesak limiter bounds
+    every cell by the local min/max of {C_old, C_low} over the
+    three-point neighborhood, so monotonicity is preserved while
+    smooth profiles see second-order advection.
+
+    C_old/C_low: [*B, K]; w: [*B] nondimensional velocity (1/s,
+    positive = downward toward larger k); returns corrected [*B, K]."""
+    K = C_old.shape[-1]
+    if K < 3:
+        return C_low
+    wexp = w[..., None]
+    # anti-diffusive advective flux at interior interfaces k+1/2,
+    # k = 0..K-2: F_high - F_low evaluated at the low-order solution
+    c_lo = C_low[..., :-1]
+    c_hi = C_low[..., 1:]
+    F_high = wexp * 0.5 * (c_lo + c_hi)
+    F_low = jnp.where(wexp >= 0.0, wexp * c_lo, wexp * c_hi)
+    A = F_high - F_low                      # [*B, K-1]
+    # zero the boundary-adjacent corrections? No: interfaces 0..K-2
+    # are all interior (top boundary flux = 0, bottom = ocean
+    # exchange, neither is an interface in A)
+
+    # local bounds from the union of old and low-order states
+    both_max = jnp.maximum(C_old, C_low)
+    both_min = jnp.minimum(C_old, C_low)
+
+    def neigh_max(x):
+        up = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+        dn = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+        return jnp.maximum(jnp.maximum(up, x), dn)
+
+    def neigh_min(x):
+        up = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+        dn = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+        return jnp.minimum(jnp.minimum(up, x), dn)
+
+    Cmax = neigh_max(both_max)
+    Cmin = neigh_min(both_min)
+
+    # incoming / outgoing anti-flux sums per cell (Zalesak P/Q/R)
+    zpad = jnp.zeros_like(A[..., :1])
+    A_up = jnp.concatenate([zpad, A], axis=-1)    # interface above k
+    A_dn = jnp.concatenate([A, zpad], axis=-1)    # interface below k
+    P_plus = jnp.maximum(A_up, 0.0) - jnp.minimum(A_dn, 0.0)
+    P_minus = jnp.maximum(A_dn, 0.0) - jnp.minimum(A_up, 0.0)
+    Q_plus = (Cmax - C_low) * dx / dt
+    Q_minus = (C_low - Cmin) * dx / dt
+    R_plus = jnp.where(P_plus > 0.0,
+                       jnp.minimum(1.0, Q_plus /
+                                   jnp.maximum(P_plus, 1e-300)), 0.0)
+    R_minus = jnp.where(P_minus > 0.0,
+                        jnp.minimum(1.0, Q_minus /
+                                    jnp.maximum(P_minus, 1e-300)), 0.0)
+
+    # limit each interface by the stricter of its two cells
+    coef = jnp.where(
+        A >= 0.0,
+        jnp.minimum(R_minus[..., :-1], R_plus[..., 1:]),
+        jnp.minimum(R_plus[..., :-1], R_minus[..., 1:]))
+    A_lim = coef * A
+    div = (jnp.concatenate([A_lim, zpad], axis=-1) -
+           jnp.concatenate([zpad, A_lim], axis=-1))
+    return C_low - dt / dx * div
+
+
 class ZbgcResult(NamedTuple):
     tracers: jnp.ndarray        # [*B, n_bio, nblyr+1] brine conc
     flux_bio: jnp.ndarray       # [*B, n_bio] to ocean (mmol/m^2/s)
@@ -526,42 +608,49 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
 
     dx = 1.0 / nblyr
     flux_ocn = jnp.zeros(C.shape[:-1], C.dtype)
-    C_new = []
-    for m in range(C.shape[-2]):
-        Cm = C[..., m, :]
-        wm = w  # per-tracer motility could be added here
-        # interface diffusivities (iDin defined on igrid, 1/s)
-        Dif = 0.5 * (iDin[..., :-1] + iDin[..., 1:])     # [*B, K-1]
-        lo = jnp.zeros_like(Cm)
-        di = jnp.ones_like(Cm)
-        up = jnp.zeros_like(Cm)
-        rhs = Cm
-        for k in range(K):
-            d_dn = Dif[..., k] / dx ** 2 if k < K - 1 else 0.0
-            d_up = Dif[..., k - 1] / dx ** 2 if k > 0 else 0.0
-            # upwind advection: w>0 moves tracer downward (to larger k)
-            a_dn = jnp.maximum(-wm, 0.0) / dx if k < K - 1 else 0.0
-            a_up = jnp.maximum(wm, 0.0) / dx if k > 0 else 0.0
-            diag = 1.0 + dt * (d_dn + d_up + a_dn + a_up)
-            if k == K - 1:
-                # bottom boundary: exchange with the ocean through the
-                # molecular sublayer + growth scavenging
-                ex = 2.0 * iDin[..., K - 1] / dx ** 2 + \
-                    jnp.maximum(growth_vel, 0.0) / dx + \
-                    jnp.maximum(wm, 0.0) / dx
-                diag = diag + dt * ex
-                rhs = rhs.at[..., k].add(
-                    dt * ex * ocean_b[..., m] * p.frazil_scav)
-            di = di.at[..., k].set(diag)
-            if k > 0:
-                lo = lo.at[..., k].set(-dt * (d_up + a_up))
-            if k < K - 1:
-                up = up.at[..., k].set(-dt * (d_dn + a_dn))
-        Cs = _thomas(lo, di, up, rhs)
-        # net exchange with the ocean (bulk content change bookkeeping
-        # happens below via the column sums)
-        C_new.append(Cs)
-    C2 = jnp.stack(C_new, axis=-2)
+    # the tridiagonal coefficients are identical for every tracer
+    # (velocity and diffusivity are per-column), so ONE [*B, K]
+    # coefficient set drives a Thomas solve batched over the tracer
+    # axis — the reference assembles and solves per tracer
+    # (ice_algae.F90:794-1497); here the tracer axis is free
+    # vectorization
+    Dif = 0.5 * (iDin[..., :-1] + iDin[..., 1:])         # [*B, K-1]
+    lo_r = [jnp.zeros(C.shape[:-2], C.dtype)]
+    di_r = []
+    up_r = []
+    for k in range(K):
+        d_dn = Dif[..., k] / dx ** 2 if k < K - 1 else 0.0
+        d_up = Dif[..., k - 1] / dx ** 2 if k > 0 else 0.0
+        # upwind advection: w>0 moves tracer downward (to larger k)
+        a_dn = jnp.maximum(-w, 0.0) / dx if k < K - 1 else 0.0
+        a_up = jnp.maximum(w, 0.0) / dx if k > 0 else 0.0
+        diag = 1.0 + dt * (d_dn + d_up + a_dn + a_up)
+        if k == K - 1:
+            # bottom boundary: exchange with the ocean through the
+            # molecular sublayer + growth scavenging
+            ex = 2.0 * iDin[..., K - 1] / dx ** 2 + \
+                jnp.maximum(growth_vel, 0.0) / dx + \
+                jnp.maximum(w, 0.0) / dx
+            diag = diag + dt * ex
+        di_r.append(diag * jnp.ones(C.shape[:-2], C.dtype))
+        if k > 0:
+            lo_r.append(-dt * (d_up + a_up) *
+                        jnp.ones(C.shape[:-2], C.dtype))
+        if k < K - 1:
+            up_r.append(-dt * (d_dn + a_dn) *
+                        jnp.ones(C.shape[:-2], C.dtype))
+    up_r.append(jnp.zeros(C.shape[:-2], C.dtype))
+    lo_j = jnp.stack(lo_r, axis=-1)[..., None, :]        # [*B, 1, K]
+    di_j = jnp.stack(di_r, axis=-1)[..., None, :]
+    up_j = jnp.stack(up_r, axis=-1)[..., None, :]
+    rhs = C.at[..., K - 1].add(dt * ex[..., None] * ocean_b *
+                               p.frazil_scav)
+    C_low = _thomas(jnp.broadcast_to(lo_j, C.shape),
+                    jnp.broadcast_to(di_j, C.shape),
+                    jnp.broadcast_to(up_j, C.shape), rhs)
+    # second-order flux-corrected anti-diffusion of the advective part
+    # (the reference's FCT correction; boundary exchange untouched)
+    C2 = _fct_antidiffusion(C, C_low, w[..., None], dt, dx)
 
     # atmospheric deposition into the top layer (zbgc_atm/snow source)
     if flux_bio_atm is not None:

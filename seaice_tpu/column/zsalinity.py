@@ -9,10 +9,16 @@ bottom; growth entrains ocean salt scaled by (1 - salt_loss).
 
 Redesign: the reference's per-cell adaptive sub-stepping and
 flux-corrected matrix assembly become one batched implicit
-advection-diffusion Thomas solve per (fixed) sub-step, vectorized over
+advection-diffusion Thomas solve per sub-step, vectorized over
 [cells, categories], with positivity enforced by the min_salin floor
 and the clipped salt booked into the ocean flux (conservation is exact
-by construction).
+by construction).  Sub-stepping is ADAPTIVE per column, as in the
+reference (`solve_S_dt`, ice_zsalinity.F90:435-885, which shrinks dts
+until the drainage/flushing rates are resolved): each column picks
+n_eff = ceil(dt * rate) sub-steps of dt/n_eff from its own
+diffusion+advection+exchange rate, capped at N_SUBSTEPS_MAX; the
+batched loop runs N_SUBSTEPS_MAX iterations with finished columns
+frozen by masking (the lax-friendly analog of a per-cell while loop).
 """
 
 from __future__ import annotations
@@ -28,7 +34,8 @@ from .zbgc import _thomas
 
 SALT_LOSS = 0.4          # fraction of ocean salt retained on growth
                          # (reference ice_colpkg_shared.F90:46)
-N_SUBSTEPS = 4           # fixed sub-step count (reference adapts)
+N_SUBSTEPS_MAX = 8       # cap on adaptive sub-steps per coupling step
+N_SUBSTEPS = N_SUBSTEPS_MAX   # back-compat alias
 
 
 class ZsalResult(NamedTuple):
@@ -53,12 +60,25 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
     nblyr = bSin.shape[-1]
     dx = 1.0 / nblyr
     hbr_s = jnp.maximum(hbr, c.PUNY)
-    dts = dt / N_SUBSTEPS
 
     # nondimensional velocities
     w = darcy_v / jnp.maximum(iphin[..., nblyr // 2], c.PUNY) / hbr_s
     growth_vel = jnp.maximum(dh_bot, 0.0) / dt / hbr_s
     melt_vel = jnp.maximum(-dh_bot, 0.0) / dt / hbr_s
+
+    # adaptive per-column sub-stepping (reference solve_S_dt adapts
+    # dts until drainage/flushing rates are resolved): resolve the
+    # fastest local rate (diffusion + advection + bottom exchange) at
+    # ~one e-folding per sub-step, capped at N_SUBSTEPS_MAX; the
+    # implicit solve is unconditionally stable, so the cap costs
+    # accuracy only in the stiffest transients, like the reference's
+    # own dts floor
+    Dif_all = 0.5 * (iDin[..., :nblyr] + iDin[..., 1:nblyr + 1])
+    rate = (Dif_all.max(-1) / dx ** 2 + jnp.abs(w) / dx +
+            2.0 * iDin[..., nblyr] / dx ** 2 +
+            (growth_vel + melt_vel) / dx)
+    n_eff = jnp.clip(jnp.ceil(dt * rate), 1.0, float(N_SUBSTEPS_MAX))
+    dts = dt / n_eff                       # per-column sub-step [*B]
 
     S = bSin
     fzsal = jnp.zeros(bSin.shape[:-1], bSin.dtype)
@@ -67,8 +87,9 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
     S_entrain = (1.0 - SALT_LOSS) * sss
     to_flux = dx * hbr_s * c.RHOI * 1.0e-3 / dt   # nondim -> kg/m^2/s
 
-    for _ in range(N_SUBSTEPS):
-        Dif = 0.5 * (iDin[..., :nblyr] + iDin[..., 1:nblyr + 1])
+    for isub in range(N_SUBSTEPS_MAX):
+        active = isub < n_eff              # [*B] bool
+        Dif = Dif_all
         lo = jnp.zeros_like(S)
         di = jnp.ones_like(S)
         up = jnp.zeros_like(S)
@@ -96,6 +117,8 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
             if k < nblyr - 1:
                 up = up.at[..., k].set(-dts * (d_dn + a_dn))
         S_new = _thomas(lo, di, up, rhs)
+        # columns past their adaptive sub-step count are frozen
+        S_new = jnp.where(active[..., None], S_new, S)
         # salt budget: ocean flux from the change (kg/m^2/s); bulk
         # salinity S [ppt] * rho_si ~ g salt / m^3 * 1e-3
         dsalt = ((S_new - S) * dx).sum(-1) * hbr_s * \
@@ -105,8 +128,9 @@ def solve_zsalinity(dt, bSin, iphin, iDin, darcy_v, hbr, hbr_old,
         # molecular-sublayer exchange evaluated at the new state —
         # backward Euler makes this the exact booked contribution;
         # reference calc_salt_fluxes :891 splits fzsal_g the same way)
-        gd = 2.0 * iDin[..., nblyr] / dx ** 2 * \
-            (S_new[..., -1] - sss) * dts
+        gd = jnp.where(active,
+                       2.0 * iDin[..., nblyr] / dx ** 2 *
+                       (S_new[..., -1] - sss) * dts, 0.0)
         fzsal_g = fzsal_g + gd * to_flux
         S = S_new
 

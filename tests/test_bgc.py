@@ -373,6 +373,92 @@ class TestFullEcosystem:
         assert float(out.cerror.max()) < 1e-8
 
 
+class TestFctTransport:
+    """Second-order flux-corrected vertical transport (VERDICT round-2
+    item 6): the FCT pass must preserve local bounds on steep profiles
+    while beating first-order upwind accuracy on smooth advection."""
+
+    def test_fct_monotone_on_step_profile(self):
+        """A step profile advected by strong flushing must stay within
+        the local bounds (no overshoot/undershoot — the property the
+        reference's FCT guarantees, ice_algae.F90:794-1497)."""
+        from seaice_tpu.column.zbgc import ZbgcParams, \
+            zbgc_transport_react
+        p = ZbgcParams(n_algae=1, use_Am=False, use_Sil=False)
+        K = 8
+        prof = np.zeros(K)
+        prof[:K // 2] = 10.0               # sharp step
+        C = jnp.asarray(np.tile(prof, (2, p.n_bio, 1)))
+        iphin = jnp.full((2, K), 0.3)
+        iDin = jnp.zeros((2, K))           # pure advection
+        hbr = jnp.full((2,), 1.0)
+        zero = jnp.zeros((2,))
+        darcy = jnp.full((2,), -2e-5)      # strong flushing
+        out = zbgc_transport_react(
+            1800.0, C, iphin, iDin, darcy, hbr, hbr, zero,
+            jnp.zeros((2,)), jnp.full((2,), -1.8),
+            jnp.zeros((p.n_bio,)), p)
+        res = np.asarray(out.tracers)
+        assert np.isfinite(res).all()
+        # bounds: nothing outside [0, 10] (ocean conc is 0 here)
+        assert res.min() >= -1e-12
+        assert res.max() <= 10.0 + 1e-9
+
+    def test_fct_sharper_than_upwind(self):
+        """The limited anti-diffusive correction must reduce the
+        smearing of the low-order solution on a smooth profile
+        (second-order where smooth) without creating new extrema."""
+        from seaice_tpu.column.zbgc import _fct_antidiffusion
+        K = 16
+        x = np.linspace(0.0, 1.0, K)
+        dx = 1.0 / (K - 1)
+        dt = 1.0
+        w = 0.3 * dx / dt                  # CFL 0.3 downward
+        exact0 = np.exp(-((x - 0.35) / 0.12) ** 2)
+        # one explicit upwind step as the low-order solution
+        low = exact0.copy()
+        low[1:] = exact0[1:] - w * dt / dx * (exact0[1:] - exact0[:-1])
+        exact = np.exp(-((x - 0.35 - w * dt) / 0.12) ** 2)
+        C_old = jnp.asarray(exact0)[None, :]
+        C_low = jnp.asarray(low)[None, :]
+        out = np.asarray(_fct_antidiffusion(
+            C_old, C_low, jnp.asarray([w]), dt, dx))[0]
+        err_low = np.abs(low - exact).sum()
+        err_fct = np.abs(out - exact).sum()
+        assert err_fct < 0.7 * err_low     # clearly less diffusive
+        # and still within the local bounds
+        assert out.min() >= -1e-12
+        assert out.max() <= exact0.max() + 1e-9
+
+    def test_zsal_adaptive_substeps_resolve_stiff_columns(self):
+        """Columns with fast drainage take more sub-steps; slow
+        columns take one.  The adaptive result must still close the
+        salt budget exactly (masking keeps the bookkeeping exact)."""
+        from seaice_tpu.column.brine import compute_micro_s_mushy
+        from seaice_tpu.column.zsalinity import solve_zsalinity
+        from seaice_tpu.column import constants as c
+        nb, ncat, nbl = 2, 1, 7
+        q, S = _profiles(nb, ncat, 7)
+        sss = jnp.full((nb, ncat), 34.0)
+        sst = jnp.full((nb, ncat), -1.7)
+        hbr = jnp.full((nb, ncat), 1.0)
+        ms = compute_micro_s_mushy(q, S, sss, sst, hbr, nbl)
+        bS = jnp.full((nb, ncat, nbl), 6.0)
+        zero = jnp.zeros((nb, ncat))
+        dt = 3600.0
+        # strong Darcy flushing in column 0 only
+        darcy = jnp.asarray([[-5e-5], [0.0]])
+        zs = solve_zsalinity(dt, bS, ms.iphin, ms.iDin, darcy, hbr,
+                             hbr, zero, zero, sss,
+                             ms.brine_sal[..., -1])
+        assert np.isfinite(np.asarray(zs.bSin)).all()
+        salt0 = (np.asarray(bS).mean(-1) * np.asarray(hbr) *
+                 c.RHOI * 1.0e-3)
+        np.testing.assert_allclose(
+            np.asarray(zs.zsal_tot) - salt0,
+            -np.asarray(zs.fzsal) * dt, rtol=1e-9, atol=1e-12)
+
+
 class TestZsalConservation:
     def test_salt_budget_closes_and_drainage_split(self):
         """Column salt change == -fzsal*dt (check_conserve_salt
