@@ -62,25 +62,32 @@ class TemperaturesMember(AnalysisMember):
 
 
 class RegionalStatisticsMember(AnalysisMember):
-    """Region-masked totals (reference
-    mpas_seaice_regional_statistics.F)."""
+    """Region-masked statistics (reference
+    mpas_seaice_regional_statistics.F: ~30 quantities per region —
+    area/extent/volume/energy/kinetic/salt/pond/ridged sums).
+    Defaults to the hemisphere split of the reference's standard
+    region file."""
 
     name = "regional_statistics"
 
-    def __init__(self, region_mask=None, n_regions: int = 1, **kw):
+    def __init__(self, region_mask=None, n_regions: int = None, **kw):
         super().__init__(**kw)
         self.region_mask = region_mask
         self.n_regions = n_regions
 
     def init(self, model, state):
         if self.region_mask is None:
-            self.region_mask = jnp.zeros(
-                (model.mesh.n_cells,), jnp.int32)
-            self.n_regions = 1
+            from ..diagnostics import hemisphere_region_mask
+            m = hemisphere_region_mask(model.mesh)
+            self.region_mask = jnp.asarray(m)
+            self.n_regions = int(m.max()) + 1
+        elif self.n_regions is None:
+            self.n_regions = int(np.asarray(self.region_mask).max()) + 1
 
     def compute(self, model, state, clock):
         out = regional_statistics(state, model.tensors.area_cell,
-                                  self.region_mask, self.n_regions)
+                                  self.region_mask, self.n_regions,
+                                  mesh_t=model.tensors.mesh)
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -188,11 +195,69 @@ class PointwiseStatsMember(AnalysisMember):
                 "iceVolumeAtPoints": v[self.cells]}
 
 
+def extract_field(model, state, name: str) -> np.ndarray:
+    """Resolve any supported field name to an array — the analog of
+    the reference time-series engine's registry-driven field lookup
+    (mpas_seaice_time_series_stats.F templates over ANY registered
+    field).  Supported names, in lookup order:
+
+      1. velocity: 'uVelocity' / 'vVelocity' (vertex fields)
+      2. any raw tracer name in state.tracers (native [nCells, nCat,
+         (nLayers)] shape — reductions are elementwise over time)
+      3. any cell-mean aggregate produced by ColumnPhysics.aggregate
+         ('iceAreaCell', 'iceVolumeCell', 'snowVolumeCell',
+         'openWaterArea', 'surfaceTemperatureCell', 'iceAgeCell', ...)
+      4. derived: 'iceThicknessCell', 'snowDepthCell', 'iceSpeed'
+
+    Unknown names raise ValueError — a misconfigured stats member must
+    fail loudly, not silently drop the field."""
+    if name == "uVelocity":
+        return np.asarray(state.velocity.u_velocity)
+    if name == "vVelocity":
+        return np.asarray(state.velocity.v_velocity)
+    tr = state.tracers
+    if name in tr:
+        return np.asarray(tr[name])
+    aicen = tr["iceAreaCategory"]
+    aice = aicen.sum(-1)
+    safe = jnp.maximum(aice, c.PUNY)
+    if name == "iceThicknessCell":
+        return np.asarray(jnp.where(
+            aice > c.PUNY, tr["iceVolumeCategory"].sum(-1) / safe, 0.0))
+    if name == "snowDepthCell":
+        return np.asarray(jnp.where(
+            aice > c.PUNY, tr["snowVolumeCategory"].sum(-1) / safe,
+            0.0))
+    if name == "iceSpeed":
+        u, v = state.velocity.u_velocity, state.velocity.v_velocity
+        return np.asarray(jnp.sqrt(u * u + v * v))
+    if model is not None and getattr(model, "column", None) is not None:
+        agg = model.column.aggregate(tr)
+        if name in agg:
+            return np.asarray(agg[name])
+    else:
+        # column package off: provide the basic aggregates directly
+        basic = {
+            "iceAreaCell": aice,
+            "iceVolumeCell": tr["iceVolumeCategory"].sum(-1),
+            "snowVolumeCell": tr["snowVolumeCategory"].sum(-1),
+            "openWaterArea": jnp.maximum(1.0 - aice, 0.0),
+        }
+        if name in basic:
+            return np.asarray(basic[name])
+    raise ValueError(
+        f"time_series_stats: unknown field {name!r} (not a tracer, "
+        "velocity, aggregate, or derived field)")
+
+
 class TimeSeriesStatsMember(AnalysisMember):
-    """Windowed avg/min/max/sum-of-squares reductions over a field list
-    (reference mpas_seaice_time_series_stats.F + time_series_inc
-    templates; the daily/monthly/climatology instances are separate
-    members with different windows)."""
+    """Windowed avg/min/max/sum-of-squares reductions over an
+    ARBITRARY configured field list (reference
+    mpas_seaice_time_series_stats.F + time_series_inc templates; the
+    daily/monthly/climatology instances are separate members with
+    different windows).  Fields resolve through `extract_field`:
+    tracers, velocity, aggregates, derived quantities — unknown names
+    raise at the first accumulation."""
 
     name = "time_series_stats"
 
@@ -204,21 +269,12 @@ class TimeSeriesStatsMember(AnalysisMember):
         self._acc: Dict[str, Any] = {}
         self._n = 0
 
-    def _extract(self, state) -> Dict[str, Any]:
-        tr = state.tracers
-        out = {}
-        if "iceAreaCell" in self.fields:
-            out["iceAreaCell"] = np.asarray(
-                tr["iceAreaCategory"].sum(-1))
-        if "iceVolumeCell" in self.fields:
-            out["iceVolumeCell"] = np.asarray(
-                tr["iceVolumeCategory"].sum(-1))
-        if "uVelocity" in self.fields:
-            out["uVelocity"] = np.asarray(state.velocity.u_velocity)
-        return out
+    def _extract(self, state, model=None) -> Dict[str, Any]:
+        return {name: extract_field(model, state, name)
+                for name in self.fields}
 
     def precompute(self, model, state, clock):
-        cur = self._extract(state)
+        cur = self._extract(state, model)
         if not self._acc:
             for k, v in cur.items():
                 self._acc[f"{k}_sum"] = v.copy()
@@ -427,7 +483,7 @@ class ClimatologyStatsMember(TimeSeriesStatsMember):
         self._monthly_n: Dict[int, int] = {}
 
     def precompute(self, model, state, clock):
-        cur = self._extract(state)
+        cur = self._extract(state, model)
         month = clock.month if hasattr(clock, "month") else (
             int(clock.day_of_year // 30.5) % 12 + 1)
         if month not in self._monthly_sum:
