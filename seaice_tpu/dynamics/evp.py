@@ -737,11 +737,11 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 u, v, t11, t22, t12 = carry
                 if use_panel and fused_panel_cell is not None:
                     pt = dyn.panel
-                    planes_ext = vpn.vertex_planes_ext(
+                    cplanes = vpn.corner_planes(
                         pt, panel_n, u, v, metric, panel_nppe)
                     (t11n, t22n, t12n, pu, pv, mu, mv) = \
                         fused_panel_cell(
-                            planes_ext, t11, t22, t12, p_T[0],
+                            cplanes, t11, t22, t12, p_T[0],
                             ss_kernel, pt.basis_grad_S,
                             pt.basis_int_S, pt.basis_metric_S)
                     # 12-cell exception path: ring-indexed strain +

@@ -36,37 +36,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as c
-from ..mesh.panels import CORNER_OFFSETS
-
 
 def build_panel_cell_kernel(N: int, npc: int, *, dt_elastic: float,
                             damping_timescale: float,
                             include_metric: bool,
                             block: int = 2048,
                             interpret: Optional[bool] = None):
-    """Build fn(planes_ext, t11, t22, t12, press, ss) ->
+    """Build fn(corner_planes, t11, t22, t12, press, ss) ->
     (t11n, t22n, t12n, pu, pv[, mu, mv]) with
 
-      planes_ext [2, F, nppe]: padded vertex planes in field-major
-          layout (F = 3 with metric: u, v, tan(lat)/r), extended by
-          pad0 = N+1 on both ends of the flat panel axis;
+      corner_planes [6, F, npc_pad]: per-corner vertex fields in
+          field-major layout (F = 3 with metric: u, v, tan(lat)/r).
+          The six shifted panel reads are materialized by XLA static
+          slices (`variational_panel.corner_planes`) so every Pallas
+          load is block-aligned — Mosaic rejects lane-dim loads at
+          offsets not provably multiples of 128, which the raw
+          panel-shift offsets (pad0 + d) are not;
       t** [6, npc]: slot-indexed corner stresses (aliased outputs);
-      press/ss [6?, no — [npc]]: replacement pressure and the
-          solve-stress mask with the exception columns zeroed.
+      press/ss [npc]: replacement pressure and the solve-stress mask
+          with the exception columns zeroed.
 
     basis tensors are closed over at call time (passed as inputs)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    pad0 = N + 1
     B = block
     npc_pad = ((npc + B - 1) // B) * B
     grid = npc_pad // B
-    # the corner reads reach pad0 + d + q for q < npc_pad with
-    # d in [-(N+1), +1]; extend the planes to cover both ends
-    nppe = ((npc_pad + 2 * pad0 + 127) // 128) * 128
-    offs = []
-    for (di, dj, t) in CORNER_OFFSETS:
-        offs.append(((di - 1) * pad0 + dj + 1, t))
 
     dte = float(dt_elastic)
     denom_c = 1.0 + (0.5 * dte) / float(damping_timescale)
@@ -76,22 +71,18 @@ def build_panel_cell_kernel(N: int, npc: int, *, dt_elastic: float,
     F = 3 if include_metric else 2
     n_out_f = 4 if include_metric else 2
 
-    def kernel(planes_ref, t11_ref, t22_ref, t12_ref, press_ref,
+    def kernel(cp_ref, t11_ref, t22_ref, t12_ref, press_ref,
                ss_ref, bg_ref, bi_ref, *rest):
         if include_metric:
             (bm_ref, o11_ref, o22_ref, o12_ref, pu_ref, pv_ref,
              mu_ref, mv_ref) = rest
         else:
             (o11_ref, o22_ref, o12_ref, pu_ref, pv_ref) = rest
-        q0 = pl.program_id(0) * B
-        # corner velocity reads: six shifted slices per field
-        uc = [planes_ref[t, 0, pl.ds(q0 + pad0 + d, B)]
-              for (d, t) in offs]
-        vc = [planes_ref[t, 1, pl.ds(q0 + pad0 + d, B)]
-              for (d, t) in offs]
+        # corner velocity reads: pre-shifted, block-aligned
+        uc = [cp_ref[b, 0] for b in range(6)]
+        vc = [cp_ref[b, 1] for b in range(6)]
         if include_metric:
-            tl = [planes_ref[t, 2, pl.ds(q0 + pad0 + d, B)]
-                  for (d, t) in offs]
+            tl = [cp_ref[b, 2] for b in range(6)]
         press = press_ref[0]
         ss_pos = ss_ref[0] > 0.0
 
@@ -153,8 +144,8 @@ def build_panel_cell_kernel(N: int, npc: int, *, dt_elastic: float,
                 mu_ref[j] = mu
                 mv_ref[j] = mv
 
-    full = pl.BlockSpec((2, F, nppe), lambda i: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
+    cpb = pl.BlockSpec((6, F, B), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
     sblk = pl.BlockSpec((6, B), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     oneb = pl.BlockSpec((1, B), lambda i: (0, i),
@@ -165,7 +156,7 @@ def build_panel_cell_kernel(N: int, npc: int, *, dt_elastic: float,
                        memory_space=pltpu.VMEM)
 
     @jax.jit
-    def run(planes_ext, t11, t22, t12, press, ss,
+    def run(corner_planes, t11, t22, t12, press, ss,
             basis_grad, basis_int, basis_metric):
         dt = t11.dtype
 
@@ -174,8 +165,8 @@ def build_panel_cell_kernel(N: int, npc: int, *, dt_elastic: float,
                            [(0, npc_pad - npc)])
 
         n_out = 7 if include_metric else 5
-        in_specs = [full, sblk, sblk, sblk, oneb, oneb, bgs, bgs]
-        args = [planes_ext, padc(t11), padc(t22), padc(t12),
+        in_specs = [cpb, sblk, sblk, sblk, oneb, oneb, bgs, bgs]
+        args = [corner_planes, padc(t11), padc(t22), padc(t12),
                 padc(press[None, :]), padc(ss[None, :]),
                 padc(basis_grad), padc(basis_int)]
         if include_metric:
@@ -197,4 +188,4 @@ def build_panel_cell_kernel(N: int, npc: int, *, dt_elastic: float,
         t11n, t22n, t12n, pu, pv = outs
         return t11n, t22n, t12n, pu, pv, None, None
 
-    return run, nppe
+    return run, npc_pad

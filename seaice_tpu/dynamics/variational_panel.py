@@ -397,12 +397,16 @@ def divergence_finish(pt: PanelTensors, N: int, stacked,
 
 # -- Pallas-path helpers ------------------------------------------------------
 
-def vertex_planes_ext(pt: PanelTensors, N: int, u, v,
-                      include_metric: bool, nppe: int):
-    """Field-major extended vertex planes [2(t), F, nppe] for the
+def corner_planes(pt: PanelTensors, N: int, u, v,
+                  include_metric: bool, npc_pad: int):
+    """Pre-shifted corner vertex fields [6(b), F, npc_pad] for the
     fused cell kernel: the plane gather of `_vertex_planes` transposed
-    to keep the long panel axis minor, zero-extended by pad0 = N+1 at
-    the front and to `nppe` total."""
+    to keep the long panel axis minor, then the six panel-shift corner
+    reads materialized as XLA static slices.  Doing the shifts here
+    keeps every Pallas load block-aligned (Mosaic rejects lane-dim
+    loads at offsets not provably multiples of 128); the extra HBM
+    traffic is ~6x a [F, npc] plane per subcycle, negligible against
+    the basis stream."""
     pad0 = N + 1
     npp = 10 * pad0 * pad0
     uv = jnp.stack([u, v], axis=-1)
@@ -412,7 +416,14 @@ def vertex_planes_ext(pt: PanelTensors, N: int, u, v,
     uv1 = jnp.concatenate([jnp.zeros((1, F), uv.dtype), uv], axis=0)
     planes = uv1[pt.plane_src].reshape(2, npp, F)
     pm = jnp.moveaxis(planes, 2, 1)                  # [2, F, npp]
-    return jnp.pad(pm, ((0, 0), (0, 0), (pad0, nppe - npp - pad0)))
+    # shifted windows reach flat index d + q for q < npc_pad with
+    # d in [-pad0, +1]; zero-extend to cover both ends
+    tail = max(0, npc_pad + 1 - npp)
+    pmp = jnp.pad(pm, ((0, 0), (0, 0), (pad0, tail)))
+    return jnp.stack([
+        pmp[t, :, pad0 + (di - 1) * pad0 + dj + 1:]
+        [:, :npc_pad]
+        for (di, dj, t) in CORNER_OFFSETS])
 
 
 def exception_strain(pt: PanelTensors, u, v,
