@@ -178,7 +178,8 @@ class ColumnPhysics:
                  use_biogeochemistry: bool = False,
                  n_algae: int = 1, n_bio_layers: int = 7,
                  solve_zsalinity: bool = False,
-                 zbgc_params=None):
+                 zbgc_params=None,
+                 shortwave_tuning: Optional[Dict[str, float]] = None):
         if ktherm not in (0, 1, 2):
             raise ValueError(f"unsupported ktherm={ktherm}")
         if kstrength not in (0, 1):
@@ -229,6 +230,9 @@ class ColumnPhysics:
         self.dpscale = dpscale
         self.frzpnd = frzpnd
         self.use_snicar = use_snicar
+        # reference shortwave nml_record tuning (Registry shortwave
+        # record): ccsm3 albedos + dEdd R_ice/R_pnd/R_snw adjusters
+        self.shortwave_tuning = dict(shortwave_tuning or {})
         self.use_brine_height = use_brine_height or use_biogeochemistry \
             or solve_zsalinity
         self.use_biogeochemistry = use_biogeochemistry
@@ -285,18 +289,28 @@ class ColumnPhysics:
                      vicen[..., None],
                      tracers["iceBodyAerosol"] * vicen[..., None]],
                     axis=-1)
+            tune = self.shortwave_tuning
+            for k in ("R_ice", "R_pnd"):
+                if k in tune:
+                    kwargs[k] = tune[k]
             if self.use_snicar:
                 from .snicar import shortwave_snicar
                 return shortwave_snicar(
                     aicen, vicen, vsnon, tsfc, coszen,
                     swvdr, swvdf, swidr, swidf, self.ni, self.ns,
                     **kwargs)
+            for k in ("R_snw", "dT_mlt", "rsnw_mlt"):
+                if k in tune:
+                    kwargs[k] = tune[k]
             return shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
                                   swvdr, swvdf, swidr, swidf,
                                   self.ni, self.ns, **kwargs)
+        tune = self.shortwave_tuning
+        alb = {k: tune[k] for k in ("albicev", "albicei", "albsnowv",
+                                    "albsnowi", "ahmax") if k in tune}
         return shortwave_ccsm3(aicen, vicen, vsnon, tsfc,
                                swvdr, swvdf, swidr, swidf,
-                               self.ni, self.ns)
+                               self.ni, self.ns, **alb)
 
     # -- therm1 + therm2 (predynamics; reference column.F:1038-1137) -----
 

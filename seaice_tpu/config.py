@@ -133,6 +133,23 @@ class ColumnConfig:
     rfracmax: float = 0.85
     pndaspect: float = 0.8
     frzpnd: str = "hlid"
+    dpscale: float = 1.0e-3        # config_pond_flushing_timescale
+    hi_min_pond: float = 0.01      # config_critical_pond_ice_thickness
+    # ridging (config_ridiging_efolding_scale)
+    mu_rdg: float = 4.0
+    # shortwave tuning (reference shortwave nml_record)
+    albicev: float = 0.78          # config_visible_ice_albedo
+    albicei: float = 0.36          # config_infrared_ice_albedo
+    albsnowv: float = 0.98         # config_visible_snow_albedo
+    albsnowi: float = 0.70         # config_infrared_snow_albedo
+    ahmax: float = 0.3             # config_variable_albedo_thickness_limit
+    r_ice: float = 0.0             # config_ice_shortwave_tuning_parameter
+    r_pnd: float = 0.0             # config_pond_shortwave_tuning_parameter
+    r_snw: float = 1.5             # config_snow_shortwave_tuning_parameter
+    dt_mlt: float = 1.5            # config_temp_change_snow_grain_radius_…
+    rsnw_mlt: float = 1500.0       # config_max_melting_snow_grain_radius
+    # zBGC reaction parameters (None = defaults for n_algae)
+    zbgc_params: Optional[object] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,6 +137,15 @@ class SeaIceModel:
                 tfrz_option=col.tfrz_option,
                 rfracmin=col.rfracmin, rfracmax=col.rfracmax,
                 pndaspect=col.pndaspect, frzpnd=col.frzpnd,
+                dpscale=col.dpscale, hi_min_pond=col.hi_min_pond,
+                mu_rdg=col.mu_rdg,
+                shortwave_tuning=dict(
+                    albicev=col.albicev, albicei=col.albicei,
+                    albsnowv=col.albsnowv, albsnowi=col.albsnowi,
+                    ahmax=col.ahmax, R_ice=col.r_ice, R_pnd=col.r_pnd,
+                    R_snw=col.r_snw, dT_mlt=col.dt_mlt,
+                    rsnw_mlt=col.rsnw_mlt),
+                zbgc_params=col.zbgc_params,
                 use_snicar=col.use_snicar,
                 use_brine_height=col.use_brine_height,
                 use_biogeochemistry=col.use_biogeochemistry,
