@@ -83,6 +83,18 @@ class PanelTensors:
     # subcycle; a single contiguous-output gather is ~4x cheaper):
     plane_src: Any         # [2*npp] -> row into [1 zero row + uv]
     pu_src_full: Any       # [6*npp] -> flat into [6, npc]
+    # dense EDGE-ROW maps: every seam ghost lives on the pad row/col of
+    # its panel (vertex ghosts at a=N or b=0; divergence ghosts at a=0
+    # or b=N), so the padded planes are a pure reshape of the
+    # panel-major real arrays plus two tiny gathered edge strips
+    # assembled by static concat — no scatter, no O(npp) gather
+    # (measured on v5e at subdiv 6: the full-map plane gather was
+    # 260 us and the pu ghost scatter 1100 us per subcycle; the
+    # edge-strip build is ~10 us)
+    plane_row_src: Any     # [2, 10, N+1] -> row into [1 zero + uv]
+    plane_col_src: Any     # [2, 10, N]   -> row into [1 zero + uv]
+    pu_row_src: Any        # [6, 10, N+1] -> flat into [1 zero + 6*npc]
+    pu_col_src: Any        # [6, 10, N]   -> flat into [1 zero + 6*npc]
     # exception path (12 cells; ring-indexed contraction)
     exc_pad_cols: Any      # [12] padded columns of the exception cells
     exc_real: Any          # [12] real cell ids of the exception cells
@@ -172,6 +184,23 @@ def build_panel_tensors(mesh, lay: PanelLayout, basis,
     pu_src_full = (ss_ * npc + qq).reshape(-1)
     pu_src_full[gp_dst] = gp_src
 
+    # dense edge strips (see PanelTensors docstring): verify the ghost
+    # sets really live on the pad rows/cols, then slice the full maps
+    assert ((gvp[:, 1] == N) | (gvp[:, 2] == -1)).all(), \
+        "vertex ghost off the pad row/col"
+    assert ((gpp[:, 2] == -1) | (gpp[:, 3] == N)).all(), \
+        "pu ghost off the pad row/col"
+    ps2 = plane_src.reshape(2, 10, N + 1, N + 1)
+    plane_row_src = ps2[:, :, N, :]              # a = N row
+    plane_col_src = ps2[:, :, :N, 0]             # b = 0 col, a < N
+    pu2 = pu_src_full.reshape(6, 10, N + 1, N + 1)
+    # identity entries point back at zero-valued pad positions of
+    # `stacked`, so gathering every strip entry from it is exact; the
+    # (a=0, b=N) corner appears in both strips — the row strip wins
+    # at merge time
+    pu_row_src = pu2[:, :, 0, :]                 # a = 0 row
+    pu_col_src = pu2[:, :, :, N]                 # b = N col (full)
+
     # exception path
     exc = np.asarray(lay.exception_cells)
     voc = np.asarray(mesh.vertices_on_cell)[exc]         # [12, me]
@@ -196,6 +225,10 @@ def build_panel_tensors(mesh, lay: PanelLayout, basis,
         ghost_pu_src=jnp.asarray(gp_src, jnp.int32),
         plane_src=jnp.asarray(plane_src, jnp.int32),
         pu_src_full=jnp.asarray(pu_src_full, jnp.int32),
+        plane_row_src=jnp.asarray(plane_row_src, jnp.int32),
+        plane_col_src=jnp.asarray(plane_col_src, jnp.int32),
+        pu_row_src=jnp.asarray(pu_row_src, jnp.int32),
+        pu_col_src=jnp.asarray(pu_col_src, jnp.int32),
         exc_pad_cols=jnp.asarray(cell_pad[exc], jnp.int32),
         exc_real=jnp.asarray(exc, jnp.int32),
         exc_voc=jnp.asarray(voc0.T, jnp.int32),
@@ -234,13 +267,24 @@ def stress_slot_to_ring(pt: PanelTensors, s_slot_pad):
 
 def _vertex_planes(pt, N, uv):
     """Real [nv, F] vertex fields -> padded planes [2(t), npp, F] with
-    seam ghosts filled — ONE gather via the precomputed source map
-    (bitwise-identical to the pad+scatter formulation it replaced)."""
+    seam ghosts filled.  The panel-major vertex numbering makes the
+    plane interior a pure reshape of `uv` (vertex ((p*N+a)*N+(b-1))*2+t
+    sits at plane (t; p, a, b)); only the two pad strips per panel
+    (a = N row, b = 0 column) hold seam ghosts, gathered as tiny dense
+    edge strips and assembled by static concat — no scatter and no
+    O(npp) gather (bitwise-identical to the full-map gather it
+    replaced)."""
     npp = 10 * (N + 1) * (N + 1)
     F = uv.shape[-1]
     uv1 = jnp.concatenate(
         [jnp.zeros((1, F), uv.dtype), uv], axis=0)
-    return uv1[pt.plane_src].reshape(2, npp, F)
+    interior = jnp.moveaxis(
+        uv.reshape(10, N, N, 2, F), 3, 0)        # [2, 10, N(a), N(q), F]
+    gc = uv1[pt.plane_col_src]                   # [2, 10, N, F]
+    gr = uv1[pt.plane_row_src]                   # [2, 10, N+1, F]
+    body = jnp.concatenate([gc[:, :, :, None], interior], axis=3)
+    planes = jnp.concatenate([body, gr[:, :, None]], axis=2)
+    return planes.reshape(2, npp, F)
 
 
 def strain_tensor_P(pt: PanelTensors, N: int, u, v,
@@ -335,13 +379,24 @@ def divergence_finish(pt: PanelTensors, N: int, stacked,
     npp = 10 * (N + 1) * (N + 1)
     npc = s11.shape[1]
     F = stacked.shape[-1]
-    # seam ghost refresh within the padded arrays (in-place scatter:
-    # XLA aliases the buffer inside the subcycle loop, touching only
-    # the ~4k ghost rows — measured faster than a full-map gather)
-    flat = stacked[:, :npp].reshape(6 * npp, F)
-    src = stacked.reshape(6 * npc, F)[pt.ghost_pu_src]
-    flat = flat.at[pt.ghost_pu_dst].set(src)
-    pads = flat.reshape(6, npp, F)
+    # seam ghost refresh: divergence ghosts live only on the pad strips
+    # (a = 0 row, b = N column) of each panel, so the ghost values are
+    # two tiny gathered edge strips merged by broadcast + select —
+    # full-array elementwise ops the VPU streams at bandwidth.  The
+    # row scatter this replaces serialized at ~0.9 ms/subcycle on v5e
+    # at subdiv 6; strided static-slice sets still cost ~0.5 ms (TPU
+    # copies interior strided slices row by row).
+    src_flat = stacked.reshape(6 * npc, F)
+    gr0 = src_flat[pt.pu_row_src]                # [6, 10, N+1, F] a=0
+    gcN = src_flat[pt.pu_col_src]                # [6, 10, N+1, F] b=N
+    pads5 = stacked[:, :npp].reshape(6, 10, N + 1, N + 1, F)
+    a_ix = jnp.arange(N + 1)
+    row_mask = (a_ix == 0)[None, None, :, None, None]
+    col_mask = (a_ix == N)[None, None, None, :, None]
+    pads5 = jnp.where(row_mask, gr0[:, :, None, :, :],
+                      jnp.where(col_mask, gcN[:, :, :, None, :],
+                                pads5))
+    pads = pads5.reshape(6, npp, F)
 
     pad0 = N + 1
     ext = jnp.zeros((6, npp + 2 * pad0, F), pads.dtype)
@@ -413,8 +468,7 @@ def corner_planes(pt: PanelTensors, N: int, u, v,
     if include_metric:
         uv = jnp.concatenate([uv, pt.tan_lat_vertex[:, None]], axis=-1)
     F = uv.shape[-1]
-    uv1 = jnp.concatenate([jnp.zeros((1, F), uv.dtype), uv], axis=0)
-    planes = uv1[pt.plane_src].reshape(2, npp, F)
+    planes = _vertex_planes(pt, N, uv)               # [2, npp, F]
     pm = jnp.moveaxis(planes, 2, 1)                  # [2, F, npp]
     # shifted windows reach flat index d + q for q < npc_pad with
     # d in [-pad0, +1]; zero-extend to cover both ends
