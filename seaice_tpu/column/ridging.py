@@ -307,12 +307,17 @@ def ridge_ice(dt, hin_max: np.ndarray, rdg_conv, rdg_shear,
                         st[k2] = st[k2].at[..., nr].add(
                             fvol * vsrdgn * FSNOWRDG * t[..., n])
 
-        # recover tracer means for the next iteration
+        # recover tracer means for the next iteration.  Divide wherever
+        # the base is POSITIVE (not just > puny): a receiver category
+        # can hold a sub-puny sliver of snow whose enthalpy must stay
+        # physical — zeroing it leaves vsnon > 0 with qs = 0 ("snow"
+        # above the melting point) and the thermo solver cannot close
+        # that column's energy budget (matches itd.py recover).
         def recover(store, base, trc):
             out = {}
             for k2, v in store.items():
                 b = base if v.ndim == base.ndim else base[..., None]
-                out[k2] = jnp.where(b > puny, v /
+                out[k2] = jnp.where(b > 0.0, v /
                                     jnp.where(b == 0, 1.0, b), 0.0)
             return out
 

@@ -52,6 +52,52 @@ def snow_enthalpy_from_temperature(T):
     return -c.RHOS * (c.LFRESH - c.CP_ICE * T)
 
 
+def init_thermo_tracers(tracers, n_ice_layers, n_snow_layers, dtype,
+                        surface_temperature=-1.0,
+                        bottom_temperature=-1.8):
+    """Fill physical enthalpy/salinity/surface-temperature profiles for
+    cells that carry ice (the colpkg_init_trcr analog, reference
+    `ice_colpkg.F90` init_trcr via seaice_init `mpas_seaice_initialize.F`):
+    a linear temperature profile from the (capped-below-melting) surface
+    temperature to the ocean freezing point, the BL99 fixed salinity
+    profile, and consistent snow enthalpy.  Ice-free cells get zeros.
+    Entries already set to something non-zero are left untouched, so
+    callers that build their own profiles (tests, benches) are not
+    overridden."""
+    tr = dict(tracers)
+    if "iceEnthalpy" not in tr:
+        return tr
+    area = tr["iceAreaCategory"]
+    has = area > 0
+    ni, ns = n_ice_layers, n_snow_layers
+    already = bool((jnp.abs(tr["iceEnthalpy"]).max() > 0) |
+                   (jnp.abs(tr.get("iceSalinity",
+                                   jnp.zeros(()))).max() > 0))
+    if already:
+        return tr
+    sal = jnp.broadcast_to(
+        jnp.asarray(salinity_profile(ni), dtype),
+        area.shape + (ni,))
+    tsfc = jnp.where(has, jnp.minimum(tr["surfaceTemperature"],
+                                      surface_temperature), 0.0)
+    tr["surfaceTemperature"] = tsfc
+    frac = (jnp.arange(ni, dtype=dtype) + 0.5) / ni
+    Tf = jnp.asarray(bottom_temperature, dtype)
+    Tprof = tsfc[..., None] * (1.0 - frac) + Tf * frac
+    Tmlt = melting_temperature(sal)
+    Tprof = jnp.minimum(Tprof, Tmlt)
+    tr["iceEnthalpy"] = jnp.where(
+        has[..., None], ice_enthalpy_from_temperature(Tprof, Tmlt), 0.0)
+    if "iceSalinity" in tr:
+        tr["iceSalinity"] = jnp.where(has[..., None], sal, 0.0)
+    if "snowEnthalpy" in tr:
+        qs = snow_enthalpy_from_temperature(tsfc)[..., None]
+        tr["snowEnthalpy"] = jnp.where(
+            has[..., None],
+            jnp.broadcast_to(qs, area.shape + (ns,)), 0.0)
+    return tr
+
+
 def snow_temperature_from_enthalpy(q):
     return (c.LFRESH + q / c.RHOS) / c.CP_ICE
 

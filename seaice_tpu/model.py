@@ -187,6 +187,14 @@ class SeaIceModel:
             tr["iceVolumeCategory"] = jnp.asarray(ice_volume_cat, dt)
         if snow_volume_cat is not None:
             tr["snowVolumeCategory"] = jnp.asarray(snow_volume_cat, dt)
+        # physical enthalpy/salinity/Tsfc profiles wherever there is
+        # ice: zero-enthalpy "ice" sits exactly at the melting point
+        # and the thermo solvers cannot close its energy budget (the
+        # reference always initializes via colpkg_init_trcr)
+        if ice_area_cat is not None and "iceEnthalpy" in tr:
+            from .column.thermo_shared import init_thermo_tracers
+            tr = init_thermo_tracers(tr, self.cfg.run.n_ice_layers,
+                                     self.cfg.run.n_snow_layers, dt)
         return State(
             velocity=init_velocity_state(self.mesh, dt),
             tracers=tr,

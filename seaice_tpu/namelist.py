@@ -865,12 +865,27 @@ def initial_state_from_setup(model, setup: RunSetup, **kwargs):
     selects (the analog of init_ice_state,
     `/root/reference/src/shared/mpas_seaice_initialize.F:253`), using
     the idealized IC suite in `testcases/ic.py`."""
+    import numpy as np
     import jax.numpy as jnp
     from .testcases import ic
     from .utils.pytree import replace
 
     ncat = model.cfg.run.n_categories
     kind = setup.initial_condition_type
+
+    def _one_cat(fn, *args, **kw):
+        """Idealized ICs fill every category uniformly; for multi-
+        category runs put the ice in category 1 (the reference's
+        idealized states are single-category setups)."""
+        area, vol, snow, extra = fn(*args, **kw)
+        if ncat > 1:
+            z = np.zeros_like(area)
+            z[:, 0] = area[:, 0]
+            area = z
+            z = np.zeros_like(vol); z[:, 0] = vol[:, 0]; vol = z
+            z = np.zeros_like(snow); z[:, 0] = snow[:, 0]; snow = z
+        return area, vol, snow, extra
+
     if kind == "cice_default":
         area, vol, snow, extra = ic.cice_default(
             model.mesh, ncat, model.cfg.run.n_ice_layers,
@@ -878,17 +893,17 @@ def initial_state_from_setup(model, setup: RunSetup, **kwargs):
             lat_north=setup.initial_latitude_north,
             lat_south=setup.initial_latitude_south, **kwargs)
     elif kind in ("uniform", "uniform_ice"):
-        area, vol, snow, extra = ic.uniform_ice(
+        area, vol, snow, extra = _one_cat(ic.uniform_ice,
             model.mesh, ncat, setup.initial_ice_area,
             setup.initial_ice_volume, setup.initial_snow_volume,
             lat_north=setup.initial_latitude_north,
             lat_south=setup.initial_latitude_south)
     elif kind == "uniform_interior":
-        area, vol, snow, extra = ic.uniform_interior(
+        area, vol, snow, extra = _one_cat(ic.uniform_interior,
             model.mesh, ncat, setup.initial_ice_area,
             setup.initial_ice_volume, setup.initial_snow_volume)
     elif kind in ("circle", "circle_of_ice"):
-        area, vol, snow, extra = ic.circle_ice(
+        area, vol, snow, extra = _one_cat(ic.circle_ice,
             model.mesh, ncat, setup.initial_ice_area,
             setup.initial_ice_volume, setup.initial_snow_volume)
     elif kind in ("random", "random_coverage"):
@@ -909,6 +924,16 @@ def initial_state_from_setup(model, setup: RunSetup, **kwargs):
     for name, val in extra.items():
         if name in tr:
             tr[name] = jnp.asarray(val, model.dtype)
+    # idealized ICs that don't carry thermal profiles (uniform/circle/
+    # ridging...) still need physical enthalpy/salinity when the run
+    # has vertical thermodynamics (the reference initializes these via
+    # colpkg_init_trcr for every IC type); init_thermo_tracers is a
+    # no-op when the IC's `extra` already provided enthalpy
+    if "iceEnthalpy" in tr:
+        from .column.thermo_shared import init_thermo_tracers
+        tr = init_thermo_tracers(tr, model.cfg.run.n_ice_layers,
+                                 model.cfg.run.n_snow_layers,
+                                 model.dtype)
     state = replace(state, tracers=tr)
     if setup.initial_velocity_type == "uniform" and (
             setup.initial_uvelocity or setup.initial_vvelocity):
