@@ -54,7 +54,18 @@ class CoupledDriver:
                  clock: Optional[ModelClock] = None,
                  tfrz_option: str = "minus1p8",
                  sst_in_kelvin: bool = False,
-                 streams=None):
+                 streams=None,
+                 prescribed_coverage=None):
+        """prescribed_coverage: optional ForcingSeries with an
+        'iceCoverage' field — prescribed (data) ice mode inside the
+        coupled loop, the CIME _MPASSI%PRES compset behavior: the
+        coverage stream is interpolated at each couple boundary and
+        imposed on the category state at the start of every model
+        substep, with velocities zeroed (reference
+        `driver/ice_comp_mct.F`: ice_prescribed_init :812,
+        ice_prescribed_run in the run loop :1125, applied via
+        seaice_run_prescribed_ice at the head of each timestep,
+        `src/shared/mpas_seaice_time_integration.F:125`)."""
         self.model = model
         self.state = state
         self.clock = clock or ModelClock(
@@ -62,6 +73,12 @@ class CoupledDriver:
         self.tfrz_option = tfrz_option
         self.sst_in_kelvin = sst_in_kelvin
         self.streams = streams
+        self.prescribed_coverage = prescribed_coverage
+        if prescribed_coverage is not None and \
+                "iceEnthalpy" not in state.tracers:
+            raise ValueError(
+                "prescribed ice mode needs the column package "
+                "(enthalpy/salinity tracers) enabled")
         dt = model.cfg.run.dt
         n_sub = coupling_interval / dt
         if abs(n_sub - round(n_sub)) > 1e-9 or n_sub < 1:
@@ -103,9 +120,31 @@ class CoupledDriver:
         from .column.orbital import compute_coszen
         from .diagnostics import check_state
 
-        def fn(tensors, state, dyn, atmf, ocnf, sec0, doy0):
+        prescribed = self.prescribed_coverage is not None
+        if prescribed:
+            from .prescribed import prescribe_ice_state
+            from .utils.pytree import replace as pt_replace
+            hin_max = model.column.hin_max
+
+        def fn(tensors, state, dyn, atmf, ocnf, sec0, doy0,
+               coverage=None):
             def body(carry, i):
                 state, acc, stress_acc = carry
+                if prescribed:
+                    # impose the data-ice coverage at the head of every
+                    # substep and zero the dynamics state (reference
+                    # seaice_run_prescribed_ice,
+                    # mpas_seaice_time_integration.F:125; PRES compsets
+                    # run with dynamics off)
+                    tr_p = prescribe_ice_state(
+                        state.tracers, coverage,
+                        lat if lat is not None
+                        else jnp.zeros_like(coverage),
+                        ocnf.freezing_temperature, hin_max)
+                    state = pt_replace(
+                        state, tracers=tr_p,
+                        velocity=jax.tree.map(jnp.zeros_like,
+                                              state.velocity))
                 secs = sec0 + (i + 0.5) * dt
                 doy = doy0 + jnp.floor(secs / 86400.0)
                 if has_latlon:
@@ -182,10 +221,15 @@ class CoupledDriver:
             sst_in_kelvin=self.sst_in_kelvin)
         if not model.cfg.column.use_column_package:
             atmf = ocnf = None
+        kw = {}
+        if self.prescribed_coverage is not None:
+            cov = self.prescribed_coverage.interpolate(
+                self.clock.seconds)["iceCoverage"]
+            kw["coverage"] = jnp.asarray(cov, d)
         state, mean_fl, mean_stress, checks = self._advance_fn(
             model.tensors, self.state, dyn, atmf, ocnf,
             jnp.asarray(self.clock.seconds_today, d),
-            jnp.asarray(float(self.clock.day_of_year), d))
+            jnp.asarray(float(self.clock.day_of_year), d), **kw)
         self.state = state
         self.clock.advance(self.coupling_interval)
         from .error import raise_on_failed_checks

@@ -137,3 +137,39 @@ def test_sharded_coupled_driver_matches_single_device():
         np.testing.assert_allclose(out_s[key], out_ref[key],
                                    rtol=1e-8, atol=1e-10,
                                    err_msg=key)
+
+
+def test_prescribed_ice_in_coupled_driver():
+    """Prescribed (data) ice mode inside the coupled loop: the coverage
+    stream is imposed on the state at every substep, velocities are
+    zeroed, and exports reflect the prescribed state (reference
+    driver/ice_comp_mct.F: ice_prescribed_init :812, ice_prescribed_run
+    :1125 in the run loop)."""
+    from seaice_tpu.forcing.core import ForcingSeries
+
+    model, state, mesh = _model()
+    dt = model.cfg.run.dt
+    nc = mesh.n_cells
+    cov = np.where(mesh.x_cell > mesh.x_cell.mean(), 0.8, 0.0)
+    series = ForcingSeries(times=np.array([0.0]),
+                           fields={"iceCoverage": cov[None, :]})
+    drv = CoupledDriver(model, state, coupling_interval=4 * dt,
+                        prescribed_coverage=series)
+    out = drv.advance(_imports(mesh))
+    aice = np.asarray(drv.state.tracers["iceAreaCategory"]).sum(-1)
+    # thermodynamics ran AFTER the final imposition, so coverage is not
+    # bitwise — but the data-ice pattern must dominate the state
+    assert abs(aice[cov > 0].mean() - 0.8) < 0.05
+    assert aice[cov == 0].max() < 0.05
+    # prescribed mode: the NH prescribed thickness is 2 m
+    vice = np.asarray(drv.state.tracers["iceVolumeCategory"]).sum(-1)
+    h = vice[cov > 0] / np.maximum(aice[cov > 0], 1e-12)
+    assert abs(np.median(h) - 2.0) < 0.3
+    assert np.isfinite(out["Si_ifrac"]).all()
+    # export fractions follow the prescribed coverage
+    assert out["Si_ifrac"][cov > 0].mean() > 0.5
+    # without the column package, prescribed mode is rejected
+    model2, state2, _ = _model(column=False)
+    with pytest.raises(ValueError):
+        CoupledDriver(model2, state2, coupling_interval=4 * dt,
+                      prescribed_coverage=series)
