@@ -535,7 +535,11 @@ def full_physics_inputs(mesh, cfg, dtype=jnp.float64):
 def dryrun(n_devices: int) -> None:
     """Driver hook: compile + run ONE sharded FULL-PHYSICS step
     (mushy thermo, dEdd shortwave, level-ice ponds, Rothrock strength,
-    5 categories, remap + ridging) on tiny shapes."""
+    5 categories, remap + ridging, age/FY tracers, aerosol deposition,
+    highfreq coupling, ITDrdg snow redistribution) at a scale where
+    every shard has a genuine interior beyond the 2-deep halos:
+    32x32 cells over the device mesh at 10 elastic subcycles
+    (VERDICT round-2 item 9)."""
     import jax.numpy as jnp
     from ..config import (AdvectionConfig, ColumnConfig, Config,
                           RunConfig, VelocitySolverConfig)
@@ -549,12 +553,15 @@ def dryrun(n_devices: int) -> None:
     cfg = Config(
         run=RunConfig(dt=1800.0, n_categories=5, n_ice_layers=7),
         velocity=VelocitySolverConfig(
-            elastic_subcycle_number=2, rotate_cartesian_grid=False,
+            elastic_subcycle_number=10, rotate_cartesian_grid=False,
             include_metric_terms=False, geostrophic_surface_tilt=False),
         advection=AdvectionConfig(),
         column=ColumnConfig(ktherm=2, shortwave="dEdd",
-                            pond_scheme="lvl", kstrength=1))
-    mesh = box.box_test_mesh(10, 10)
+                            pond_scheme="lvl", kstrength=1,
+                            use_ice_age=True, use_first_year_ice=True,
+                            n_aerosols=2, highfreq=True,
+                            use_snow_tracers=True, snwredist="ITDrdg"))
+    mesh = box.box_test_mesh(32, 32)
     mesh.f_vertex = box.box_coriolis_parameter(mesh)
     # overlap=True: the dryrun also validates the interior/boundary
     # comm-compute split compiles and runs under shard_map
@@ -575,7 +582,14 @@ def dryrun(n_devices: int) -> None:
     ocn_l = model.scatter_cell_tree(
         jax.tree.map(lambda x: np.asarray(x, np.float32), ocn))
     cz_l = model.scatter_cell_tree(jnp.asarray(coszen, jnp.float32))
+    lat_l = jnp.asarray(model.part.scatter_cell_field(
+        np.full(mesh.n_cells, np.deg2rad(75.0), np.float32)))
+    faero_l = jnp.asarray(model.part.scatter_cell_field(
+        np.tile(np.array([1e-12, 5e-13], np.float32),
+                (mesh.n_cells, 1))))
     step = model.make_step()
     out, _ = step(model.tensors, model.halo, state, forcing,
-                  atm_l, ocn_l, cz_l)
+                  atm_l, ocn_l, cz_l,
+                  day_of_year=jnp.asarray(265.0, jnp.float32),
+                  lat=lat_l, faero_atm=faero_l)
     jax.block_until_ready(out.velocity.u_velocity)

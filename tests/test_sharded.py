@@ -253,15 +253,23 @@ def test_sharded_full_physics_matches_single_device(options):
         col_kw = dict(use_ice_age=True, use_first_year_ice=True,
                       n_aerosols=2, highfreq=True,
                       use_snow_tracers=True, snwredist="ITDrdg")
+    # 'full' also scales the mesh so every one of the 8 shards has a
+    # genuine interior beyond the 2-deep halos (32x32 cells -> 8
+    # Morton blocks of 128 cells) at 10 elastic subcycles (VERDICT
+    # round-2 item 9); 'base' stays small for compile time.
+    nx = 32 if full else 10
+    n_shards = 8 if full else 4
+    n_subcycles = 10 if full else 2
     cfg = Config(
         run=RunConfig(dt=1800.0, n_categories=5, n_ice_layers=7),
         velocity=VelocitySolverConfig(
-            elastic_subcycle_number=2, rotate_cartesian_grid=False,
+            elastic_subcycle_number=n_subcycles,
+            rotate_cartesian_grid=False,
             include_metric_terms=False, geostrophic_surface_tilt=False),
         advection=AdvectionConfig(),
         column=ColumnConfig(ktherm=2, shortwave="dEdd",
                             pond_scheme="lvl", kstrength=1, **col_kw))
-    mesh = box.box_test_mesh(10, 10)
+    mesh = box.box_test_mesh(nx, nx)
     mesh.f_vertex = box.box_coriolis_parameter(mesh)
     (area, vol, snow, extra, atm, ocn,
      coszen) = full_physics_inputs(mesh, cfg, jnp.float64)
@@ -291,7 +299,7 @@ def test_sharded_full_physics_matches_single_device(options):
             lat=None if lat_g is None else jnp.asarray(lat_g),
             faero_atm=None if faero_g is None else jnp.asarray(faero_g))
 
-    sm = ShardedSeaIceModel(mesh, cfg, 4, dtype=jnp.float64)
+    sm = ShardedSeaIceModel(mesh, cfg, n_shards, dtype=jnp.float64)
     sstate = sm.init_state(area, vol, snow)
     str_ = dict(sstate.tracers)
     for k, v in extra.items():
