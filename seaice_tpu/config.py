@@ -87,6 +87,9 @@ class AdvectionConfig:
     monotonic: bool = True
     conservation_check: bool = False
     monotonicity_check: bool = False
+    # fused Pallas flux-integration kernel (transport/pallas_flux.py):
+    # None = auto (on for TPU, interpret-mode equality tests on CPU)
+    use_pallas_flux: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -284,7 +284,8 @@ class SeaIceModel:
         if use_remap:
             remap_step = make_remap_step(
                 tree, self.mesh.vertex_degree,
-                monotonic=cfg.advection.monotonic)
+                monotonic=cfg.advection.monotonic,
+                use_pallas_flux=cfg.advection.use_pallas_flux)
         adv_checks = (cfg.advection.conservation_check or
                       cfg.advection.monotonicity_check)
         if use_upwind:

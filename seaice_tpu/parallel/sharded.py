@@ -320,7 +320,8 @@ class ShardedSeaIceModel:
         if use_remap:
             remap_step = make_remap_step(
                 tree, self.global_mesh.vertex_degree,
-                monotonic=cfg.advection.monotonic)
+                monotonic=cfg.advection.monotonic,
+                use_pallas_flux=cfg.advection.use_pallas_flux)
         column = self.column
         use_column = cfg.column.use_column_package
         use_ridging = use_column and cfg.column.use_ridging

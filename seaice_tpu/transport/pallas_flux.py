@@ -1,0 +1,288 @@
+"""Fused Pallas kernel for IR flux integration.
+
+The polynomial-coefficient flux integration (`remap.integrate_fluxes`,
+the TPU redesign of the reference's
+`integrate_fluxes_over_triangles`, `mpas_seaice_advection_incremental_
+remap.F:6667-6982`) is the hottest kernel of the full-physics step:
+at QU120km scale it is ~165 ms of a ~415 ms step when expressed as
+XLA ops, because every intermediate is a [nEdges*slots, nCat, nKeys]
+array whose tiny trailing dims the TPU pads to (8, 128) tiles — >90%
+of the memory traffic is padding.
+
+This kernel keeps the ONE large XLA gather (coefficients of all
+tracers for each (edge, slot) source cell, [X, F] with F ~ 600 flat —
+lane-efficient) and fuses EVERYTHING after it into a single blocked
+Pallas pass where all intermediates live in VMEM:
+
+  per row block [B, F] (B = S*K rows = K whole edges):
+    1. Wa_exp = Wa_blk @ SelM0            (monomial -> column map, MXU)
+    2. P      = g_blk * Wa_exp            (quadrature fold, VPU)
+    3. Pf     = Fold @ P                  (slot sum, 0/1 MXU matmul)
+    4. out2d  = Pf @ Sel2d                (per-tracer column sum, MXU)
+    5. parent partials P0/Px/Py = (gpar * wa-shift) @ SelP   (MXU)
+    6. 3D integrands c3*rep(P0) + gx3*rep(Px) + gy3*rep(Py)  (VPU,
+       rep and the c3/gx3/gy3 column extractions as 0/1 MXU matmuls),
+       slot-summed with Fold.
+
+All reshapes/slot-sums/column-selections are expressed as static 0/1
+matmuls on the MXU — nothing ever leaves VMEM between the gather read
+and the [K, nTracerCols] flux output, so the pass streams the gathered
+coefficients from HBM exactly once.
+
+Numerics match `remap.integrate_fluxes` up to float reduction
+reassociation (matmul accumulation order); asserted in
+`tests/test_remap.py::test_pallas_flux_matches_xla`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .geometry import RemapTensors
+from .remap import _poly_mul_linear, triangle_monomial_integrals
+
+
+def _pack_plan(tree, recon, term_idx):
+    """Static packing of all tracers' cellwise polynomial coefficients
+    into one flat column space (mirrors `remap.integrate_fluxes`),
+    plus the column metadata every selector matrix is built from."""
+    polys = {}
+    cat = []                 # cellwise arrays to concatenate
+    col_mono = []            # per column: monomial index (-1: 3D block)
+    off = 0
+    out2d = []               # (name, nCat, out_off)
+    n_out2d = 0
+    sel2d_rows = []          # (col, out_col)
+    specs3d = []             # (name, nCat, nL, col_off, out3_off)
+    block_off = {}
+    keys_of = {}
+    t3 = 0
+    for spec in tree.specs:
+        r = recon[spec.name]
+        c0, gx, gy = r["center"], r["gx"], r["gy"]
+        if c0.ndim == 2:
+            if spec.parent is None:
+                poly = {(0, 0): c0, (1, 0): gx, (0, 1): gy}
+            else:
+                poly = _poly_mul_linear(polys[spec.parent], c0, gx, gy)
+            polys[spec.name] = poly
+            keys = sorted(poly.keys(), key=lambda m: term_idx[m])
+            keys_of[spec.name] = keys
+            nCat = c0.shape[1]
+            coeff = jnp.stack([poly[k] for k in keys], axis=-1)
+            cat.append(coeff.reshape(coeff.shape[0], -1))
+            block_off[spec.name] = off
+            for cc in range(nCat):
+                for j, k in enumerate(keys):
+                    col_mono.append(term_idx[k])
+                    sel2d_rows.append((off + cc * len(keys) + j,
+                                       n_out2d + cc))
+            out2d.append((spec.name, nCat, n_out2d))
+            n_out2d += nCat
+            off += nCat * len(keys)
+        else:
+            nCat, nL = c0.shape[1], c0.shape[2]
+            specs3d.append((spec.name, nCat, nL, off, t3))
+            block_off[spec.name] = off
+            for a in (c0, gx, gy):
+                cat.append(a.reshape(a.shape[0], -1))
+            col_mono += [-1] * (3 * nCat * nL)
+            off += 3 * nCat * nL
+            t3 += nCat * nL
+    return dict(polys=polys, cat=cat, col_mono=col_mono, F=off,
+                out2d=out2d, n_out2d=n_out2d, sel2d_rows=sel2d_rows,
+                specs3d=specs3d, block_off=block_off, keys_of=keys_of,
+                T3=t3)
+
+
+def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
+    """Build the pallas_call.  All selectors are numpy constants passed
+    as whole-array (grid-invariant) VMEM inputs."""
+    F = plan["F"]
+    T2 = plan["n_out2d"]
+    T3 = max(plan["T3"], 1)
+    has3d = plan["T3"] > 0
+    B = S * K
+    npdt = np.dtype(jnp.dtype(dtype).name)
+
+    selm0 = np.zeros((Mw, F), npdt)
+    for f, m in enumerate(plan["col_mono"]):
+        if m >= 0:
+            selm0[m, f] = 1.0
+    sel2d = np.zeros((F, T2), npdt)
+    for f, t in plan["sel2d_rows"]:
+        sel2d[f, t] = 1.0
+    fold = np.zeros((K, B), npdt)
+    for k in range(K):
+        fold[k, k * S:(k + 1) * S] = 1.0
+
+    mats3d = []
+    for (name, nCat, nL, o, t3o) in plan["specs3d"]:
+        spec = tree.spec(name)
+        pkeys = plan["keys_of"][spec.parent]
+        Mp = len(pkeys)
+        poff = plan["block_off"][spec.parent]
+        CP = nCat * Mp
+        selpar = np.zeros((F, CP), npdt)
+        for j in range(CP):
+            selpar[poff + j, j] = 1.0
+        m0 = np.zeros((Mw, CP), npdt)
+        mx = np.zeros((Mw, CP), npdt)
+        my = np.zeros((Mw, CP), npdt)
+        for cc in range(nCat):
+            for j, k in enumerate(pkeys):
+                col = cc * Mp + j
+                m0[term_idx[k], col] = 1.0
+                mx[term_idx[(k[0] + 1, k[1])], col] = 1.0
+                my[term_idx[(k[0], k[1] + 1)], col] = 1.0
+        selp = np.zeros((CP, nCat), npdt)
+        for cc in range(nCat):
+            selp[cc * Mp:(cc + 1) * Mp, cc] = 1.0
+        rep = np.zeros((nCat, nCat * nL), npdt)
+        for cc in range(nCat):
+            rep[cc, cc * nL:(cc + 1) * nL] = 1.0
+        F3 = nCat * nL
+        selc = []
+        for blk in range(3):
+            sc = np.zeros((F, F3), npdt)
+            for j in range(F3):
+                sc[o + blk * F3 + j, j] = 1.0
+            selc.append(sc)
+        mats3d.append(dict(F3=F3, t3_off=t3o, mats=[
+            selpar, m0, mx, my, selp, rep] + selc))
+    N_MATS3 = 9
+
+    pet = dtype
+
+    def kernel(g_ref, wa_ref, selm0_ref, sel2d_ref, fold_ref, *refs):
+        n3 = len(mats3d)
+        m3_refs = refs[:N_MATS3 * n3]
+        out2d_ref = refs[N_MATS3 * n3]
+        out3d_ref = refs[N_MATS3 * n3 + 1] if has3d else None
+        g = g_ref[:]                                     # [B, F]
+        wa = wa_ref[:]                                   # [B, Mw]
+        wa_exp = jnp.dot(wa, selm0_ref[:],
+                         preferred_element_type=pet)     # [B, F]
+        P = g * wa_exp
+        Pf = jnp.dot(fold_ref[:], P,
+                     preferred_element_type=pet)         # [K, F]
+        out2d_ref[:] = jnp.dot(Pf, sel2d_ref[:],
+                               preferred_element_type=pet)
+        for i3, m in enumerate(mats3d):
+            (selpar_ref, m0_ref, mx_ref, my_ref, selp_ref, rep_ref,
+             sc0_ref, sc1_ref, sc2_ref) = \
+                m3_refs[N_MATS3 * i3:N_MATS3 * (i3 + 1)]
+            gpar = jnp.dot(g, selpar_ref[:],
+                           preferred_element_type=pet)   # [B, CP]
+            w0 = jnp.dot(wa, m0_ref[:], preferred_element_type=pet)
+            wx = jnp.dot(wa, mx_ref[:], preferred_element_type=pet)
+            wy = jnp.dot(wa, my_ref[:], preferred_element_type=pet)
+            P0 = jnp.dot(gpar * w0, selp_ref[:],
+                         preferred_element_type=pet)     # [B, nCat]
+            Px = jnp.dot(gpar * wx, selp_ref[:],
+                         preferred_element_type=pet)
+            Py = jnp.dot(gpar * wy, selp_ref[:],
+                         preferred_element_type=pet)
+            c3 = jnp.dot(g, sc0_ref[:], preferred_element_type=pet)
+            gx3 = jnp.dot(g, sc1_ref[:], preferred_element_type=pet)
+            gy3 = jnp.dot(g, sc2_ref[:], preferred_element_type=pet)
+            P0r = jnp.dot(P0, rep_ref[:], preferred_element_type=pet)
+            Pxr = jnp.dot(Px, rep_ref[:], preferred_element_type=pet)
+            Pyr = jnp.dot(Py, rep_ref[:], preferred_element_type=pet)
+            integ = c3 * P0r + gx3 * Pxr + gy3 * Pyr     # [B, F3]
+            out3d_ref[:, m["t3_off"]:m["t3_off"] + m["F3"]] = \
+                jnp.dot(fold_ref[:], integ,
+                        preferred_element_type=pet)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((B, F), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, Mw), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        const_spec((Mw, F)), const_spec((F, T2)), const_spec((K, B)),
+    ]
+    mat_args = [jnp.asarray(selm0), jnp.asarray(sel2d),
+                jnp.asarray(fold)]
+    for m in mats3d:
+        for a in m["mats"]:
+            in_specs.append(const_spec(a.shape))
+            mat_args.append(jnp.asarray(a))
+
+    out_specs = [pl.BlockSpec((K, T2), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if has3d:
+        out_specs.append(pl.BlockSpec((K, T3), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+
+    def run(g, wa, n_blocks):
+        out_shape = [jax.ShapeDtypeStruct((n_blocks * K, T2), dtype)]
+        if has3d:
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_blocks * K, T3), dtype))
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(g, wa, *mat_args)
+
+    return run, has3d
+
+
+def integrate_fluxes_fused(tree, recon, rt: RemapTensors, cell, xq, yq,
+                           area, mask_edge,
+                           interpret: Optional[bool] = None,
+                           K: int = 64):
+    """Drop-in replacement for `remap.integrate_fluxes` backed by the
+    fused Pallas pass (XLA keeps the single coefficient gather)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nE, S = cell.shape
+    X = nE * S
+    dtype = xq.dtype
+    cellf = cell.reshape(-1)
+    areaf = area.reshape(-1)
+    max_depth = max(tree.depth(s.name) for s in tree.specs)
+    mom, terms = triangle_monomial_integrals(rt, xq, yq,
+                                             max_degree=max_depth + 1)
+    term_idx = {m: i for i, m in enumerate(terms)}
+    M = len(terms)
+    plan = _pack_plan(tree, recon, term_idx)
+
+    gathered = jnp.concatenate(plan["cat"], axis=1)[cellf]    # [X, F]
+    Wa = mom.reshape(X, M) * areaf[:, None]                   # [X, M]
+
+    B = S * K
+    n_blocks = -(-X // B)
+    pad = n_blocks * B - X
+    if pad:
+        gathered = jnp.pad(gathered, ((0, pad), (0, 0)))
+        Wa = jnp.pad(Wa, ((0, pad), (0, 0)))    # zero Wa rows: no flux
+
+    run, has3d = _build_kernel(plan, tree, term_idx, S, K, M,
+                               dtype, interpret)
+    outs = run(gathered, Wa, n_blocks)
+    flux2d = outs[0][:nE]
+    me = mask_edge[:, None]
+    fluxes = {}
+    for (name, nCat, o) in plan["out2d"]:
+        fluxes[name] = flux2d[:, o:o + nCat] * me
+    if has3d:
+        flux3d = outs[1][:nE]
+        for (name, nCat, nL, _, t3o) in plan["specs3d"]:
+            fluxes[name] = flux3d[:, t3o:t3o + nCat * nL].reshape(
+                nE, nCat, nL) * me[..., None]
+    return fluxes

@@ -801,7 +801,8 @@ def from_transport_fields(tree: TracerTree, fields: Dict[str, Any]):
 # -- driver -------------------------------------------------------------------
 
 def make_remap_step(tree: TracerTree, vertex_degree: int,
-                    monotonic: bool = True):
+                    monotonic: bool = True,
+                    use_pallas_flux: Optional[bool] = None):
     """Build the jitted IR transport step.
 
     Returns step(rt, cells_on_cell, cells_on_cell_mask, area_cell,
@@ -809,7 +810,13 @@ def make_remap_step(tree: TracerTree, vertex_degree: int,
     where `state` is a dict of tracer arrays in *storage* convention
     (volumes stored as volumes). Mirrors
     seaice_run_advection_incremental_remap (reference :2338-2667).
-    """
+
+    use_pallas_flux: None = auto — the fused Pallas flux-integration
+    kernel (transport/pallas_flux.py) on TPU, the XLA formulation
+    elsewhere."""
+    if use_pallas_flux is None:
+        use_pallas_flux = jax.default_backend() == "tpu"
+
     def step(rt: RemapTensors, cells_on_cell, cells_on_cell_mask,
              area_cell, state, u_vertex, v_vertex, dt):
         fields = to_transport_fields(tree, state)
@@ -820,8 +827,13 @@ def make_remap_step(tree: TracerTree, vertex_degree: int,
         dpx, dpy = departure_points(u_vertex, v_vertex, dt)
         tris = find_departure_triangles(rt, dpx, dpy, vertex_degree)
         cell, xq, yq, area = triangles_to_cell_coords(rt, tris)
-        fluxes = integrate_fluxes(tree, recon, rt, cell, xq, yq, area,
-                                  tris["mask_edge"])
+        if use_pallas_flux:
+            from .pallas_flux import integrate_fluxes_fused
+            fluxes = integrate_fluxes_fused(tree, recon, rt, cell, xq,
+                                            yq, area, tris["mask_edge"])
+        else:
+            fluxes = integrate_fluxes(tree, recon, rt, cell, xq, yq,
+                                      area, tris["mask_edge"])
         new_fields = update_mass_and_tracers(tree, fields, fluxes, rt,
                                              area_cell)
         new_fields = zap_small_mass(tree, new_fields)
