@@ -34,7 +34,7 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 
-def build(subdiv=6, n_subcycles=120, dt=1800.0):
+def build(subdiv=6, n_subcycles=120, dt=1800.0, mesh_kind="panel"):
     import jax.numpy as jnp
     import numpy as np
 
@@ -52,9 +52,19 @@ def build(subdiv=6, n_subcycles=120, dt=1800.0):
     from seaice_tpu.utils.pytree import replace
 
     dtype = jnp.float32
-    from seaice_tpu.mesh.panels import panel_reorder
-    # panel order enables the shift-based EVP kernels on the sphere
-    mesh, _lay = panel_reorder(icosahedral_mesh(subdiv), subdiv)
+    if mesh_kind == "panel":
+        from seaice_tpu.mesh.panels import panel_reorder
+        # panel order enables the shift-based EVP kernels on the sphere
+        mesh, _lay = panel_reorder(icosahedral_mesh(subdiv), subdiv)
+    elif mesh_kind == "icos":
+        mesh = icosahedral_mesh(subdiv)          # hex mesh, gather path
+    elif mesh_kind == "voronoi":
+        # genuinely unstructured SCVT-style mesh: no panel/raster
+        # structure, exercises the general gather path
+        from seaice_tpu.mesh import spherical_voronoi_mesh
+        mesh = spherical_voronoi_mesh(subdiv)
+    else:
+        raise ValueError(f"unknown mesh_kind {mesh_kind!r}")
     cfg = Config(
         run=RunConfig(dt=dt, n_categories=5, n_ice_layers=7),
         velocity=VelocitySolverConfig(

@@ -106,7 +106,18 @@ def icosahedral_mesh(subdivisions: int = 3,
     pts, tris = _icosahedron()
     for _ in range(subdivisions):
         pts, tris = _subdivide(pts, tris)
+    return delaunay_dual_mesh(pts, tris, radius)
 
+
+def delaunay_dual_mesh(pts: np.ndarray, tris: np.ndarray,
+                       radius: float = c.EARTH_RADIUS) -> Mesh:
+    """Build the Voronoi-dual Mesh of an arbitrary spherical Delaunay
+    triangulation: generators `pts` [n,3] (unit vectors) become cells,
+    triangle circumcenters become mesh vertices.  This is the generic
+    core of the QU-mesh construction — any valid full-sphere
+    triangulation works (icosahedral subdivision, convex hull of an
+    SCVT point set, ...); mirrors the mesh format the reference
+    consumes (`/root/reference/src/Registry.xml` mesh stream)."""
     n_cells = len(pts)          # generators = cells
     n_vertices = len(tris)      # triangle circumcenters = vertices
     vert_xyz = _circumcenter(pts[tris[:, 0]], pts[tris[:, 1]],
@@ -256,3 +267,63 @@ def icosahedral_mesh(subdivisions: int = 3,
         f_cell=2.0 * c.OMEGA * np.sin(lat_cell),
     )
     return mesh.finalize()
+
+
+def _hull_triangulation(pts: np.ndarray) -> np.ndarray:
+    """Spherical Delaunay triangulation of unit points via the convex
+    hull, with all triangles oriented outward (CCW seen from outside)."""
+    from scipy.spatial import ConvexHull
+
+    tris = ConvexHull(pts).simplices.astype(np.int64)
+    a, b, t = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    outward = (np.cross(b - a, t - a) * (a + b + t)).sum(-1) > 0
+    tris[~outward] = tris[~outward][:, [0, 2, 1]]
+    return tris
+
+
+def spherical_voronoi_mesh(subdivisions: int = 3,
+                           jitter: float = 0.3,
+                           lloyd_iters: int = 4,
+                           seed: int = 0,
+                           radius: float = c.EARTH_RADIUS) -> Mesh:
+    """Genuinely unstructured global SCVT-style Voronoi mesh.
+
+    The stand-in for a real MPAS QU mesh produced by an SCVT generator
+    (the reference's QU120km meshes come from JIGSAW/MPAS-Tools): start
+    from quasi-uniform icosahedral generator points, perturb each
+    tangentially by `jitter` * local-spacing (destroying the panel /
+    raster structure entirely — no shift-based fast path can engage),
+    then Lloyd-relax toward centroidal Voronoi so cell quality matches
+    an SCVT mesh.  The dual is rebuilt from the convex-hull Delaunay
+    triangulation of the final points, so the connectivity is generic.
+    """
+    pts, tris = _icosahedron()
+    for _ in range(subdivisions):
+        pts, tris = _subdivide(pts, tris)
+    n = len(pts)
+    spacing = np.sqrt(4.0 * np.pi / n)   # mean point spacing (unit sphere)
+
+    rng = np.random.default_rng(seed)
+    if jitter > 0.0:
+        d = rng.standard_normal((n, 3))
+        d -= pts * (d * pts).sum(-1, keepdims=True)   # tangential
+        nrm = np.linalg.norm(d, axis=-1, keepdims=True)
+        d /= np.where(nrm > 0, nrm, 1.0)
+        amp = jitter * spacing * rng.random((n, 1))
+        pts = pts + amp * d
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+
+    for _ in range(lloyd_iters):
+        tris = _hull_triangulation(pts)
+        cc = _circumcenter(pts[tris[:, 0]], pts[tris[:, 1]],
+                           pts[tris[:, 2]])
+        # generator -> mean of surrounding circumcenters (≈ centroid)
+        acc = np.zeros_like(pts)
+        cnt = np.zeros(n)
+        for k in range(3):
+            np.add.at(acc, tris[:, k], cc)
+            np.add.at(cnt, tris[:, k], 1.0)
+        pts = acc / cnt[:, None]
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+
+    return delaunay_dual_mesh(pts, _hull_triangulation(pts), radius)
