@@ -78,6 +78,11 @@ class VelocitySolverConfig:
     # fused Pallas subcycle kernel on raster-quad meshes
     # (dynamics/pallas_evp.py): None = auto-enable when eligible
     use_pallas_subcycle: Optional[bool] = None
+    # fully-fused panel subcycle LOOP (dynamics/pallas_panel_fused.py,
+    # one kernel per solve, basis VMEM-resident): None = auto when
+    # eligible (panel mesh, standard EVP, quadratic ocean stress,
+    # N <= 64); False = fall back to the per-subcycle panel kernel
+    use_fused_panel_loop: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

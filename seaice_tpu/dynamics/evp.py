@@ -286,7 +286,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          raster=None,
                          use_pallas: bool = False,
                          halo_overlap=None,
-                         panel_n: Optional[int] = None):
+                         panel_n: Optional[int] = None,
+                         panel_mesh=None):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -339,6 +340,7 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
 
     fused_subcycle = None
     fused_panel_cell = None
+    fused_panel_all = None
     panel_nppe = None
     if use_pallas and panel_n is not None:
         # spherical panel meshes: fuse the cell-side subcycle pipeline
@@ -348,11 +350,36 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             raise ValueError(
                 "use_pallas on a panel mesh requires the variational "
                 "scheme with standard EVP")
-        from .pallas_panel import build_panel_cell_kernel
-        fused_panel_cell, panel_nppe = build_panel_cell_kernel(
-            panel_n, 10 * (panel_n + 1) ** 2 + 2,
-            dt_elastic=dt_e, damping_timescale=damping_t,
-            include_metric=v_cfg.include_metric_terms)
+        # preferred: the fully-fused whole-loop kernel (one launch per
+        # solve, basis VMEM-resident, dynamics/pallas_panel_fused.py)
+        want_loop = v_cfg.use_fused_panel_loop
+        loop_ok = (want_loop is not False
+                   and panel_mesh is not None
+                   and getattr(panel_mesh, "panel_layout", None)
+                   is not None
+                   and panel_n <= 64
+                   and halo_exchange_vertex is None
+                   and v_cfg.use_ocean_stress
+                   and v_cfg.ocean_stress_type ==
+                   OceanStressType.QUADRATIC)
+        if want_loop is True and not loop_ok:
+            raise ValueError(
+                "use_fused_panel_loop=True but the configuration is "
+                "ineligible (needs the panel mesh object, N <= 64, "
+                "quadratic ocean stress, single device)")
+        if loop_ok:
+            from .pallas_panel_fused import build_fused_panel_solver
+            fused_panel_all = build_fused_panel_solver(
+                panel_mesh, panel_mesh.panel_layout,
+                dt_elastic=dt_e, damping_timescale=damping_t,
+                n_subcycles=v_cfg.elastic_subcycle_number,
+                include_metric=v_cfg.include_metric_terms)
+        else:
+            from .pallas_panel import build_panel_cell_kernel
+            fused_panel_cell, panel_nppe = build_panel_cell_kernel(
+                panel_n, 10 * (panel_n + 1) ** 2 + 2,
+                dt_elastic=dt_e, damping_timescale=damping_t,
+                include_metric=v_cfg.include_metric_terms)
     elif use_pallas:
         if (use_weak or relation != ConstitutiveRelation.EVP or
                 raster is None or v_cfg.include_metric_terms or
@@ -698,6 +725,16 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 0, v_cfg.elastic_subcycle_number, body,
                 (u, v, s11.T, s22.T, s12.T))
             s11, s22, s12 = t11.T, t22.T, t12.T
+        elif fused_panel_all is not None:
+            # ONE Pallas kernel runs the whole subcycle loop on the
+            # panel planes with the basis VMEM-resident
+            # (dynamics/pallas_panel_fused.py)
+            u, v, t11T, t22T, t12T = fused_panel_all(
+                dyn.panel, u, v, s11.T, s22.T, s12.T, pressure,
+                solve_stress, uo_v, vo_v, mass_vertex, mass_f,
+                air_u + tilt_u, air_v + tilt_v, ocean_u, ocean_v,
+                solve_velocity, area_vertex)
+            s11, s22, s12 = t11T.T, t22T.T, t12T.T
         elif fused_subcycle is not None:
             # ONE Pallas kernel runs all subcycles with u/v and the
             # corner stresses VMEM-resident (dynamics/pallas_evp.py)

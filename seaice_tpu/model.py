@@ -276,7 +276,8 @@ class SeaIceModel:
             raster=raster,
             use_pallas=self._pallas_subcycle_eligible(
                 raster, halo_exchange_vertex),
-            panel_n=panel_n)
+            panel_n=panel_n,
+            panel_mesh=self.mesh if panel_n is not None else None)
         use_remap = (cfg.advection.advection_type ==
                      AdvectionType.INCREMENTAL_REMAP)
         use_upwind = (cfg.advection.advection_type ==
