@@ -219,6 +219,18 @@ def build_fused_panel_solver(mesh, lay, *, dt_elastic: float,
         eye = eye_r[:]
         jay = jay_r[:]
 
+        # seed the outputs from the inputs explicitly: the subcycle loop
+        # reads the output refs as its running state, and the TPU
+        # lowering does not guarantee aliased outputs read back the
+        # input values before the first write (interpret mode does);
+        # the input_output_aliases remain as a buffer-reuse hint only
+        u_o[:] = u_in[:]
+        v_o[:] = v_in[:]
+        t11_o[:] = t11_in[:]
+        t22_o[:] = t22_in[:]
+        t12_o[:] = t12_in[:]
+        texc_o[:] = texc_in[:]
+
         # zero the partial-product scratch once: the compute pass only
         # writes cell lanes [0:64); ghost strips write lane N; all
         # other lanes must read as zero in the dual shifts
