@@ -35,6 +35,23 @@ sys.path.insert(0, ROOT)
 
 
 def build(subdiv=6, n_subcycles=120, dt=1800.0, mesh_kind="panel"):
+    """Build the workload; array setup runs on the HOST (every small
+    setup op through the axon tunnel costs ~35 ms -> minutes of build),
+    then everything device_puts to the accelerator in one transfer."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model, state, forc = _build_host(subdiv, n_subcycles, dt,
+                                         mesh_kind)
+    if jax.default_backend() != "cpu":
+        dev = jax.devices()[0]
+        model.tensors, state, forc = jax.device_put(
+            (model.tensors, state, forc), dev)
+    return model, state, forc
+
+
+def _build_host(subdiv, n_subcycles, dt, mesh_kind):
     import jax.numpy as jnp
     import numpy as np
 

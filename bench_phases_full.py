@@ -111,6 +111,7 @@ def main():
         cfg, min_dv_edge=float(np.min(
             model.mesh.dv_edge[model.mesh.dv_edge > 0])),
         panel_n=(lay.N if lay is not None else None),
+        panel_mesh=(model.mesh if lay is not None else None),
         use_pallas=model._pallas_subcycle_eligible(None, None))
     tr0 = state.tracers
 
