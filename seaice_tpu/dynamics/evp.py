@@ -888,6 +888,19 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             e11c, e22c, e12c = strain_tensor_weak(
                 dyn.weak, mesh, u, v, dyn.area_cell, solve_stress)
             e11, e22, e12 = e11c[:, None], e22c[:, None], e12c[:, None]
+        elif use_panel:
+            # final diagnostic strain via the panel-shift formulation
+            # (the naive gather layout costs several ms/step at 40k
+            # cells; the shifts are ~free)
+            from . import variational_panel as vpn
+            eS = vpn.strain_tensor_P(dyn.panel, panel_n, u, v, metric)
+            e11, e22, e12 = (
+                vpn.stress_slot_to_ring(dyn.panel, e).T for e in eS)
+        elif use_fast:
+            # cell-minor fast layout (variational_fast)
+            from . import variational_fast as vf
+            eT = vf.strain_tensor_T(dyn.fast, u, v, metric)
+            e11, e22, e12 = (e.T for e in eT)
         else:
             e11, e22, e12 = variational.strain_tensor(
                 u, v, dyn.tan_lat_vertex, mesh,
