@@ -102,20 +102,31 @@ def _pack_plan(tree, recon, term_idx):
 
 
 def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
-    """Build the pallas_call.  All selectors are numpy constants passed
-    as whole-array (grid-invariant) VMEM inputs."""
+    """Build the pallas_call.
+
+    Rows are (edge, k) pairs over the K6 = S cell slots of the edge
+    stencil (slot-folded OUTSIDE the kernel — see
+    `integrate_fluxes_fused`).  The gathered coefficients arrive
+    SUBLANE-PACKED as [B, 8, L] blocks (one full (8, 128)-tile per row
+    when L = 128) and are unpacked to [B, F8] lanes in VMEM; every 0/1
+    column-selection that used to be an MXU matmul over the F-wide axis
+    is a static lane slice (the packed column layout is contiguous per
+    tracer block), leaving only genuinely contracting matmuls on the
+    MXU."""
     F = plan["F"]
     T2 = plan["n_out2d"]
     T3 = max(plan["T3"], 1)
     has3d = plan["T3"] > 0
     B = S * K
+    L = 128 * (-(-F // 1024))            # lanes per sublane chunk
+    F8 = 8 * L
     npdt = np.dtype(jnp.dtype(dtype).name)
 
-    selm0 = np.zeros((Mw, F), npdt)
+    selm0 = np.zeros((Mw, F8), npdt)
     for f, m in enumerate(plan["col_mono"]):
         if m >= 0:
             selm0[m, f] = 1.0
-    sel2d = np.zeros((F, T2), npdt)
+    sel2d = np.zeros((F8, T2), npdt)
     for f, t in plan["sel2d_rows"]:
         sel2d[f, t] = 1.0
     fold = np.zeros((K, B), npdt)
@@ -129,9 +140,6 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
         Mp = len(pkeys)
         poff = plan["block_off"][spec.parent]
         CP = nCat * Mp
-        selpar = np.zeros((F, CP), npdt)
-        for j in range(CP):
-            selpar[poff + j, j] = 1.0
         m0 = np.zeros((Mw, CP), npdt)
         mx = np.zeros((Mw, CP), npdt)
         my = np.zeros((Mw, CP), npdt)
@@ -148,15 +156,9 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
         for cc in range(nCat):
             rep[cc, cc * nL:(cc + 1) * nL] = 1.0
         F3 = nCat * nL
-        selc = []
-        for blk in range(3):
-            sc = np.zeros((F, F3), npdt)
-            for j in range(F3):
-                sc[o + blk * F3 + j, j] = 1.0
-            selc.append(sc)
-        mats3d.append(dict(F3=F3, t3_off=t3o, mats=[
-            selpar, m0, mx, my, selp, rep] + selc))
-    N_MATS3 = 9
+        mats3d.append(dict(F3=F3, t3_off=t3o, col_off=o, poff=poff,
+                           CP=CP, mats=[m0, mx, my, selp, rep]))
+    N_MATS3 = 5
 
     pet = dtype
 
@@ -165,21 +167,22 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
         m3_refs = refs[:N_MATS3 * n3]
         out2d_ref = refs[N_MATS3 * n3]
         out3d_ref = refs[N_MATS3 * n3 + 1] if has3d else None
-        g = g_ref[:]                                     # [B, F]
+        # unpack sublane chunks -> [B, F8] lanes
+        g = jnp.concatenate([g_ref[:, s, :] for s in range(8)],
+                            axis=-1)
         wa = wa_ref[:]                                   # [B, Mw]
         wa_exp = jnp.dot(wa, selm0_ref[:],
-                         preferred_element_type=pet)     # [B, F]
+                         preferred_element_type=pet)     # [B, F8]
         P = g * wa_exp
         Pf = jnp.dot(fold_ref[:], P,
-                     preferred_element_type=pet)         # [K, F]
+                     preferred_element_type=pet)         # [K, F8]
         out2d_ref[:] = jnp.dot(Pf, sel2d_ref[:],
                                preferred_element_type=pet)
         for i3, m in enumerate(mats3d):
-            (selpar_ref, m0_ref, mx_ref, my_ref, selp_ref, rep_ref,
-             sc0_ref, sc1_ref, sc2_ref) = \
+            (m0_ref, mx_ref, my_ref, selp_ref, rep_ref) = \
                 m3_refs[N_MATS3 * i3:N_MATS3 * (i3 + 1)]
-            gpar = jnp.dot(g, selpar_ref[:],
-                           preferred_element_type=pet)   # [B, CP]
+            po, CP, o, F3 = m["poff"], m["CP"], m["col_off"], m["F3"]
+            gpar = g[:, po:po + CP]                      # [B, CP] slice
             w0 = jnp.dot(wa, m0_ref[:], preferred_element_type=pet)
             wx = jnp.dot(wa, mx_ref[:], preferred_element_type=pet)
             wy = jnp.dot(wa, my_ref[:], preferred_element_type=pet)
@@ -189,9 +192,9 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
                          preferred_element_type=pet)
             Py = jnp.dot(gpar * wy, selp_ref[:],
                          preferred_element_type=pet)
-            c3 = jnp.dot(g, sc0_ref[:], preferred_element_type=pet)
-            gx3 = jnp.dot(g, sc1_ref[:], preferred_element_type=pet)
-            gy3 = jnp.dot(g, sc2_ref[:], preferred_element_type=pet)
+            c3 = g[:, o:o + F3]                          # slices
+            gx3 = g[:, o + F3:o + 2 * F3]
+            gy3 = g[:, o + 2 * F3:o + 3 * F3]
             P0r = jnp.dot(P0, rep_ref[:], preferred_element_type=pet)
             Pxr = jnp.dot(Px, rep_ref[:], preferred_element_type=pet)
             Pyr = jnp.dot(Py, rep_ref[:], preferred_element_type=pet)
@@ -206,11 +209,11 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((B, F), lambda i: (i, 0),
+        pl.BlockSpec((B, 8, L), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((B, Mw), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        const_spec((Mw, F)), const_spec((F, T2)), const_spec((K, B)),
+        const_spec((Mw, F8)), const_spec((F8, T2)), const_spec((K, B)),
     ]
     mat_args = [jnp.asarray(selm0), jnp.asarray(sel2d),
                 jnp.asarray(fold)]
@@ -239,22 +242,30 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
             interpret=interpret,
         )(g, wa, *mat_args)
 
-    return run, has3d
+    return run, has3d, L
 
 
-def integrate_fluxes_fused(tree, recon, rt: RemapTensors, cell, xq, yq,
-                           area, mask_edge,
+def integrate_fluxes_fused(tree, recon, rt: RemapTensors, cell_slot,
+                           xq, yq, area, mask_edge,
                            interpret: Optional[bool] = None,
                            K: int = 64):
     """Drop-in replacement for `remap.integrate_fluxes` backed by the
-    fused Pallas pass (XLA keeps the single coefficient gather)."""
+    fused Pallas pass.
+
+    cell_slot [nE, S]: per-triangle index into the edge's K6-cell remap
+    stencil (`tris["cell_slot"]`).  The S triangle slots are FOLDED
+    onto the K6 stencil axis before the gather — the monomial weights
+    Wa of all slots sourcing the same stencil cell are summed first
+    (exact reassociation: the coefficients are identical), so the
+    coefficient gather runs over nE*K6 rows instead of nE*S.  The
+    gather itself is sublane-packed: the [nc, F] coefficient table is
+    reshaped to [nc, 8, L] so one gathered row fills whole (8, 128)
+    tiles instead of one sublane of five."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nE, S = cell.shape
-    X = nE * S
+    nE, S = cell_slot.shape
+    K6 = rt.cells_on_edge_remap.shape[1]
     dtype = xq.dtype
-    cellf = cell.reshape(-1)
-    areaf = area.reshape(-1)
     max_depth = max(tree.depth(s.name) for s in tree.specs)
     mom, terms = triangle_monomial_integrals(rt, xq, yq,
                                              max_degree=max_depth + 1)
@@ -262,18 +273,36 @@ def integrate_fluxes_fused(tree, recon, rt: RemapTensors, cell, xq, yq,
     M = len(terms)
     plan = _pack_plan(tree, recon, term_idx)
 
-    gathered = jnp.concatenate(plan["cat"], axis=1)[cellf]    # [X, F]
-    Wa = mom.reshape(X, M) * areaf[:, None]                   # [X, M]
+    # fold triangle slots onto the K6 stencil axis
+    hi = jax.lax.Precision.HIGHEST
+    oh = (cell_slot[..., None] ==
+          jnp.arange(K6, dtype=cell_slot.dtype)).astype(dtype)
+    Wa_s = mom.reshape(nE, S, M) * area[..., None]       # [nE, S, M]
+    Wa6 = jnp.einsum("esk,esm->ekm", oh, Wa_s,
+                     precision=hi)                       # [nE, K6, M]
+    Wa6 = Wa6 * rt.cells_on_edge_remap_mask[..., None]
+    X = nE * K6
+    Wa = Wa6.reshape(X, M)
+    cellf = jnp.maximum(rt.cells_on_edge_remap, 0).reshape(-1)
 
-    B = S * K
+    # sublane-packed coefficient gather
+    C = jnp.concatenate(plan["cat"], axis=1)             # [nc, F]
+    F = plan["F"]
+    L = 128 * (-(-F // 1024))
+    F8 = 8 * L
+    if F8 > F:
+        C = jnp.pad(C, ((0, 0), (0, F8 - F)))
+    gathered = C.reshape(C.shape[0], 8, L)[cellf]        # [X, 8, L]
+
+    B = K6 * K
     n_blocks = -(-X // B)
     pad = n_blocks * B - X
     if pad:
-        gathered = jnp.pad(gathered, ((0, pad), (0, 0)))
+        gathered = jnp.pad(gathered, ((0, pad), (0, 0), (0, 0)))
         Wa = jnp.pad(Wa, ((0, pad), (0, 0)))    # zero Wa rows: no flux
 
-    run, has3d = _build_kernel(plan, tree, term_idx, S, K, M,
-                               dtype, interpret)
+    run, has3d, _L = _build_kernel(plan, tree, term_idx, K6, K, M,
+                                   dtype, interpret)
     outs = run(gathered, Wa, n_blocks)
     flux2d = outs[0][:nE]
     me = mask_edge[:, None]

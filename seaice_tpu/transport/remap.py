@@ -829,7 +829,8 @@ def make_remap_step(tree: TracerTree, vertex_degree: int,
         cell, xq, yq, area = triangles_to_cell_coords(rt, tris)
         if use_pallas_flux:
             from .pallas_flux import integrate_fluxes_fused
-            fluxes = integrate_fluxes_fused(tree, recon, rt, cell, xq,
+            fluxes = integrate_fluxes_fused(tree, recon, rt,
+                                            tris["cell_slot"], xq,
                                             yq, area, tris["mask_edge"])
         else:
             fluxes = integrate_fluxes(tree, recon, rt, cell, xq, yq,

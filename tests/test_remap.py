@@ -330,8 +330,8 @@ def test_pallas_flux_matches_xla():
     cell, xq, yq, tarea = R.triangles_to_cell_coords(rt, tris)
     f_xla = R.integrate_fluxes(tree, recon, rt, cell, xq, yq, tarea,
                                tris["mask_edge"])
-    f_pl = integrate_fluxes_fused(tree, recon, rt, cell, xq, yq,
-                                  tarea, tris["mask_edge"],
+    f_pl = integrate_fluxes_fused(tree, recon, rt, tris["cell_slot"],
+                                  xq, yq, tarea, tris["mask_edge"],
                                   interpret=True, K=16)
     for k in f_xla:
         a, b = np.asarray(f_xla[k]), np.asarray(f_pl[k])
