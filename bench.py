@@ -165,7 +165,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     tpu = measure(nx, n_subcycles)
     base = cpu_baseline(nx, n_subcycles)
-    print(json.dumps({
+    out = {
         "metric": "evp_cells_subcycles_per_s",
         "value": round(tpu, 1),
         "unit": "cells*subcycles/s/chip",
@@ -173,7 +173,26 @@ def main():
         # honest ratio: only meaningful when the numerator really ran
         # on the chip
         "vs_baseline": round(tpu / base, 2) if (base and ok) else 0.0,
-    }))
+    }
+    # north-star full-physics config (VERDICT r4 item 1): icos subdiv-6
+    # global mesh, 5 cat / 7 layers, mushy + dEdd + lvl ponds +
+    # Rothrock, EVP 120 + full-tracer IR + ridging.  Reported in the
+    # same JSON line so BENCH_rN.json captures the production config;
+    # failures (e.g. tunnel flake mid-compile) must not lose the
+    # primary metric.
+    if ok:
+        try:
+            import bench_full
+            nc_ns, dt_ns = bench_full.measure(6, 120)
+            out["north_star_ms_per_step"] = round(dt_ns * 1e3, 2)
+            out["north_star_cells_subcycles_per_s"] = round(
+                nc_ns * 120 / dt_ns, 1)
+            out["north_star_config"] = (
+                "icos subdiv-6 global, 5cat/7lay, mushy+dEdd+lvlponds+"
+                "Rothrock, EVP120+IR+ridging, f32")
+        except Exception as e:          # noqa: BLE001
+            out["north_star_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

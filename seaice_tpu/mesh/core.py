@@ -222,7 +222,12 @@ def project_3d_onto_local_2d(points_3d: np.ndarray, center_3d: np.ndarray):
     The local basis: e1 = unit eastward (z x r), e2 = unit northward
     (r x e1), both at the center point.
     """
-    r = center_3d / np.linalg.norm(center_3d, axis=-1, keepdims=True)
+    # padded/degenerate rows (all-zero centers from halo padding) must not
+    # produce NaN warnings: normalize against a floored norm; their basis
+    # vectors come out of the deterministic fallback below and are never
+    # read (the rows are masked by the callers)
+    nr = np.linalg.norm(center_3d, axis=-1, keepdims=True)
+    r = center_3d / np.maximum(nr, 1e-300)
     zhat = np.array([0.0, 0.0, 1.0])
     e1 = np.cross(np.broadcast_to(zhat, r.shape), r)
     n1 = np.linalg.norm(e1, axis=-1, keepdims=True)
