@@ -44,7 +44,9 @@ def time_velocity(mesh_kind, subdiv, subcycles):
             model.mesh.dv_edge[model.mesh.dv_edge > 0])),
         panel_n=(lay.N if lay is not None else None),
         panel_mesh=(model.mesh if lay is not None else None),
-        use_pallas=model._pallas_subcycle_eligible(None, None))
+        use_pallas=model._pallas_subcycle_eligible(None, None),
+        unstructured_plan=(model.tensors.dynamics.unstructured
+                           if lay is None else None))
     tr0 = state.tracers
     tensors = model.tensors
     column = model.column

@@ -83,6 +83,12 @@ class VelocitySolverConfig:
     # eligible (panel mesh, standard EVP, quadratic ocean stress,
     # N <= 64); False = fall back to the per-subcycle panel kernel
     use_fused_panel_loop: Optional[bool] = None
+    # fully-fused UNSTRUCTURED subcycle loop
+    # (dynamics/pallas_unstructured.py, one kernel per solve, gathers
+    # as exact lane shuffles): None = auto when eligible (any
+    # non-panel/non-raster mesh, standard EVP, quadratic ocean stress,
+    # single device); False = XLA gather path
+    use_fused_unstructured: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

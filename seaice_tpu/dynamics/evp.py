@@ -45,10 +45,13 @@ class DynamicsTensors:
     area_cell: Any               # [nCells]
     area_triangle: Any           # [nVertices]
     panel: Optional[Any] = None  # panel-shift tensors (icosahedral)
+    unstructured: Optional[Any] = None  # fused-gather plan (any mesh)
 
 
 def build_dynamics_tensors(mesh: Mesh, cfg: Config,
-                           dtype=jnp.float32) -> DynamicsTensors:
+                           dtype=jnp.float32,
+                           build_unstructured: bool = True
+                           ) -> DynamicsTensors:
     """Init-time basis precompute + device upload
     (reference seaice_init_velocity_solver, velocity_solver.F:85-386)."""
     from ..ops.basis import compute_variational_basis
@@ -76,8 +79,30 @@ def build_dynamics_tensors(mesh: Mesh, cfg: Config,
     if lay is not None and not use_weak and mesh.max_edges == 6:
         from .variational_panel import build_panel_tensors
         panel = build_panel_tensors(mesh, lay, vb, dtype)
+    # fused unstructured-gather plan (dynamics/gather_plan.py): built
+    # for any mesh without panel structure when the configuration can
+    # reach the fused kernel (the model decides engagement at step
+    # build; the plan itself is backend-agnostic)
+    unstructured = None
+    v = cfg.velocity
+    if (build_unstructured and v.use_fused_unstructured is not False
+            and not use_weak and panel is None
+            and v.constitutive_relation == ConstitutiveRelation.EVP
+            and not v.average_variational_strains
+            and v.use_ocean_stress
+            and v.ocean_stress_type == OceanStressType.QUADRATIC
+            # VMEM cap: the resident basis tiles are ~5 * 1.15 KB/cell;
+            # past ~64k cells the kernel would not fit (streaming the
+            # basis per group is the planned lift)
+            and mesh.n_cells <= 65536):
+        from ..mesh.structured import detect_raster_quad
+        if (detect_raster_quad(mesh) is None
+                or v.use_fused_unstructured is True):
+            from .gather_plan import build_unstructured_plan
+            unstructured = build_unstructured_plan(mesh, vb, dtype)
     return DynamicsTensors(
         panel=panel,
+        unstructured=unstructured,
         mesh=mesh.tensors(dtype),
         basis_gradient_u=jnp.asarray(vb.basis_gradient_u, dtype),
         basis_gradient_v=jnp.asarray(vb.basis_gradient_v, dtype),
@@ -287,7 +312,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          use_pallas: bool = False,
                          halo_overlap=None,
                          panel_n: Optional[int] = None,
-                         panel_mesh=None):
+                         panel_mesh=None,
+                         unstructured_plan=None):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -341,8 +367,28 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     fused_subcycle = None
     fused_panel_cell = None
     fused_panel_all = None
+    fused_unstructured = None
     panel_nppe = None
-    if use_pallas and panel_n is not None:
+    if use_pallas and panel_n is None and raster is None and \
+            unstructured_plan is not None:
+        # ANY-connectivity fused whole-loop kernel
+        # (dynamics/pallas_unstructured.py): gathers as lane shuffles
+        if use_weak or relation != ConstitutiveRelation.EVP or \
+                v_cfg.average_variational_strains or \
+                not v_cfg.use_ocean_stress or \
+                v_cfg.ocean_stress_type != OceanStressType.QUADRATIC or \
+                halo_exchange_vertex is not None:
+            raise ValueError(
+                "use_fused_unstructured requires the variational scheme "
+                "with standard EVP, quadratic ocean stress, and a "
+                "single device")
+        from .pallas_unstructured import build_unstructured_solver
+        fused_unstructured = build_unstructured_solver(
+            unstructured_plan,
+            dt_elastic=dt_e, damping_timescale=damping_t,
+            n_subcycles=v_cfg.elastic_subcycle_number,
+            include_metric=v_cfg.include_metric_terms)
+    elif use_pallas and panel_n is not None:
         # spherical panel meshes: fuse the cell-side subcycle pipeline
         # (dynamics/pallas_panel.py); vertex-side work stays in XLA
         if use_weak or relation != ConstitutiveRelation.EVP or \
@@ -724,6 +770,15 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
             u, v, t11, t22, t12 = jax.lax.fori_loop(
                 0, v_cfg.elastic_subcycle_number, body,
                 (u, v, s11.T, s22.T, s12.T))
+            s11, s22, s12 = t11.T, t22.T, t12.T
+        elif fused_unstructured is not None:
+            # ONE Pallas kernel runs the whole subcycle loop for
+            # arbitrary connectivity (dynamics/pallas_unstructured.py)
+            u, v, t11, t22, t12 = fused_unstructured(
+                dyn.unstructured, u, v, s11.T, s22.T, s12.T, pressure,
+                solve_stress, uo_v, vo_v, mass_vertex, mass_f,
+                air_u + tilt_u, air_v + tilt_v, ocean_u, ocean_v,
+                solve_velocity, area_vertex)
             s11, s22, s12 = t11.T, t22.T, t12.T
         elif fused_panel_all is not None:
             # ONE Pallas kernel runs the whole subcycle loop on the

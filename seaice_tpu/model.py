@@ -59,7 +59,8 @@ class SeaIceModel:
     reference's init-time scheme selection)."""
 
     def __init__(self, mesh: Mesh, cfg: Config, dtype=jnp.float64,
-                 tracer_tree: Optional[TracerTree] = None):
+                 tracer_tree: Optional[TracerTree] = None,
+                 build_unstructured: bool = True):
         self.mesh = mesh
         self.cfg = cfg
         self.dtype = dtype
@@ -93,7 +94,8 @@ class SeaIceModel:
         self.tree = tracer_tree
 
         mesh_t = mesh.tensors(dtype)
-        dyn_t = build_dynamics_tensors(mesh, cfg, dtype)
+        dyn_t = build_dynamics_tensors(
+            mesh, cfg, dtype, build_unstructured=build_unstructured)
         remap_t = None
         upwind_t = None
         if cfg.advection.advection_type == AdvectionType.INCREMENTAL_REMAP:
@@ -232,6 +234,26 @@ class SeaIceModel:
                          or jax.default_backend() != "tpu")
                     and (want is True
                          or jax.default_backend() == "tpu"))
+        # ANY-connectivity fused loop (dynamics/pallas_unstructured.py):
+        # engages when the plan was built (non-panel, non-raster mesh,
+        # standard EVP + quadratic ocean stress) on a single device
+        if self.tensors.dynamics.unstructured is not None and \
+                raster is None:
+            want_u = self.cfg.velocity.use_fused_unstructured
+            if want_u is None:
+                want_u = want
+            return (want_u is not False
+                    and halo_exchange_vertex is None
+                    and v.strain_scheme == StrainScheme.VARIATIONAL
+                    and v.constitutive_relation ==
+                    ConstitutiveRelation.EVP
+                    and not v.average_variational_strains
+                    and v.use_ocean_stress
+                    and v.ocean_stress_type == OceanStressType.QUADRATIC
+                    and (self.dtype == jnp.float32
+                         or jax.default_backend() != "tpu")
+                    and (want is True or want_u is True
+                         or jax.default_backend() == "tpu"))
         eligible = (
             raster is not None and not getattr(raster, "periodic", False)
             and halo_exchange_vertex is None
@@ -277,7 +299,11 @@ class SeaIceModel:
             use_pallas=self._pallas_subcycle_eligible(
                 raster, halo_exchange_vertex),
             panel_n=panel_n,
-            panel_mesh=self.mesh if panel_n is not None else None)
+            panel_mesh=self.mesh if panel_n is not None else None,
+            unstructured_plan=(
+                self.tensors.dynamics.unstructured
+                if (raster is None and panel_n is None
+                    and halo_exchange_vertex is None) else None))
         use_remap = (cfg.advection.advection_type ==
                      AdvectionType.INCREMENTAL_REMAP)
         use_upwind = (cfg.advection.advection_type ==

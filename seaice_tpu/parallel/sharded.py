@@ -170,7 +170,8 @@ class ShardedSeaIceModel:
         self.jax_mesh = JaxMesh(devices, (AXIS,))
 
         # per-block single-device models (share config/tracer tree)
-        self.models = [SeaIceModel(b.mesh, cfg, dtype)
+        self.models = [SeaIceModel(b.mesh, cfg, dtype,
+                                   build_unstructured=False)
                        for b in self.part.blocks]
         self.tree = self.models[0].tree
         self.column = self.models[0].column
