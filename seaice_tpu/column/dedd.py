@@ -338,7 +338,8 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
                    aero_mp_snow=None, aero_mp_ice=None,
                    R_ice: float = 0.0, R_pnd: float = 0.0,
                    R_snw: float = 1.5, dT_mlt: float = 1.5,
-                   rsnw_mlt: float = 1500.0, hs0: float = 0.0):
+                   rsnw_mlt: float = 1500.0, hs0: float = 0.0,
+                   kalg: float = KALG):
     """Delta-Eddington albedos and absorbed-solar partition, with the
     ShortwaveResult interface of shortwave_ccsm3 (reference
     shortwave_dEdd :1187 + compute_dEdd :1674 assembly, run_dEdd
@@ -450,95 +451,112 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
         ki_int, wi_int = _tune_iops(KI_INT[b], WI_INT[b], R_ice,
                                     FP_ICE, FM_ICE)
 
-        # snow/bare stack: snow rows masked out for bare columns
-        taus, w0s, gls = [], [], []
-        for k in range(ns_l + 1):
-            qs, ws_s, gs_s = snow_iops(r_rows[k], b)
-            ks = qs * (c.RHOS / c.RHOI) * 3.0 / \
-                (4.0 * r_rows[k] * 1e-6)
-            taus.append(jnp.where(l_snow, ks * dzs_rows[k], 0.0))
-            w0s.append(jnp.where(l_snow, ws_s, 0.0))
-            gls.append(jnp.where(l_snow, gs_s, 0.0))
-        taus += [ki_ssl * dzi_ssl, ki_dl * dzi_dl * fs_dl]
-        w0s += [jnp.full_like(aicen, wi_ssl),
-                jnp.full_like(aicen, wi_dl)]
-        gls += [jnp.full_like(aicen, GI_SSL[b]),
-                jnp.full_like(aicen, GI_DL[b])]
-        for k in range(ni - 1):
-            if b == 0 and k == ni - 2:
-                # bottom layer, visible band: built-in algal absorption
-                # of fixed optical depth kalg*0.5 m (:2713-2716)
-                kabs = ki_int * (1.0 - wi_int) + KALG * 0.5 / dz_i
-                sig = ki_int * wi_int
-                taus.append((kabs + sig) * dz_i)
-                w0s.append(jnp.broadcast_to(
-                    sig / (sig + kabs), aicen.shape))
-                gls.append(jnp.full_like(aicen, GI_INT[b]))
-            else:
-                taus.append(ki_int * dz_i)
-                w0s.append(jnp.full_like(aicen, wi_int))
-                gls.append(jnp.full_like(aicen, GI_INT[b]))
+        def sb_solve(snow_mask):
+            """One snow/bare column solve: snow rows masked out for
+            bare columns (snow_mask False)."""
+            taus, w0s, gls = [], [], []
+            for k in range(ns_l + 1):
+                qs, ws_s, gs_s = snow_iops(r_rows[k], b)
+                ks = qs * (c.RHOS / c.RHOI) * 3.0 / \
+                    (4.0 * r_rows[k] * 1e-6)
+                taus.append(jnp.where(snow_mask, ks * dzs_rows[k], 0.0))
+                w0s.append(jnp.where(snow_mask, ws_s, 0.0))
+                gls.append(jnp.where(snow_mask, gs_s, 0.0))
+            taus += [ki_ssl * dzi_ssl, ki_dl * dzi_dl * fs_dl]
+            w0s += [jnp.full_like(aicen, wi_ssl),
+                    jnp.full_like(aicen, wi_dl)]
+            gls += [jnp.full_like(aicen, GI_SSL[b]),
+                    jnp.full_like(aicen, GI_DL[b])]
+            for k in range(ni - 1):
+                if b == 0 and k == ni - 2:
+                    # bottom layer, visible band: algal absorption of
+                    # optical depth kalg*0.5 m (:2713-2716)
+                    kabs = ki_int * (1.0 - wi_int) + kalg * 0.5 / dz_i
+                    sig = ki_int * wi_int
+                    taus.append((kabs + sig) * dz_i)
+                    w0s.append(jnp.broadcast_to(
+                        sig / (sig + kabs), aicen.shape))
+                    gls.append(jnp.full_like(aicen, GI_INT[b]))
+                else:
+                    taus.append(ki_int * dz_i)
+                    w0s.append(jnp.full_like(aicen, wi_int))
+                    gls.append(jnp.full_like(aicen, GI_INT[b]))
 
-        # bulk aerosol mixing into the layer optics (:2556-2650):
-        # snow SSL pool -> row 0, snow body /ns_l over the body rows;
-        # ice SSL pool -> the ice SSL row, ice body /ni over DL+interior
-        if aero_mp_snow is not None:
-            mps = jnp.where(l_snow[..., None],
-                            aero_mp_snow[..., 0], 0.0)
-            mpb = jnp.where(l_snow[..., None],
-                            aero_mp_snow[..., 1], 0.0) / ns_l
-            taus[0], w0s[0], gls[0] = _mix_aerosol(
-                taus[0], w0s[0], gls[0], mps, b)
-            for k in range(1, ns_l + 1):
-                taus[k], w0s[k], gls[k] = _mix_aerosol(
-                    taus[k], w0s[k], gls[k], mpb, b)
-        if aero_mp_ice is not None:
-            mpi_s = aero_mp_ice[..., 0]
-            mpi_b = aero_mp_ice[..., 1] / ni
-            taus[ns_l + 1], w0s[ns_l + 1], gls[ns_l + 1] = \
-                _mix_aerosol(taus[ns_l + 1], w0s[ns_l + 1],
-                             gls[ns_l + 1], mpi_s, b)
-            for k in range(ns_l + 2, K):
-                taus[k], w0s[k], gls[k] = _mix_aerosol(
-                    taus[k], w0s[k], gls[k], mpi_b, b)
+            # bulk aerosol mixing into the layer optics (:2556-2650):
+            # snow SSL pool -> row 0, snow body /ns_l over the body
+            # rows; ice SSL pool -> the ice SSL row, ice body /ni over
+            # DL+interior
+            if aero_mp_snow is not None:
+                mps = jnp.where(snow_mask[..., None],
+                                aero_mp_snow[..., 0], 0.0)
+                mpb = jnp.where(snow_mask[..., None],
+                                aero_mp_snow[..., 1], 0.0) / ns_l
+                taus[0], w0s[0], gls[0] = _mix_aerosol(
+                    taus[0], w0s[0], gls[0], mps, b)
+                for k in range(1, ns_l + 1):
+                    taus[k], w0s[k], gls[k] = _mix_aerosol(
+                        taus[k], w0s[k], gls[k], mpb, b)
+            if aero_mp_ice is not None:
+                mpi_s = aero_mp_ice[..., 0]
+                mpi_b = aero_mp_ice[..., 1] / ni
+                taus[ns_l + 1], w0s[ns_l + 1], gls[ns_l + 1] = \
+                    _mix_aerosol(taus[ns_l + 1], w0s[ns_l + 1],
+                                 gls[ns_l + 1], mpi_s, b)
+                for k in range(ns_l + 2, K):
+                    taus[k], w0s[k], gls[k] = _mix_aerosol(
+                        taus[k], w0s[k], gls[k], mpi_b, b)
 
-        sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
-                                ALBOCN_DR[b], ALBOCN_DF[b])
-        fdr = bsc(swdr_b[b])
-        fdf = bsc(swdf_b[b])
+            sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
+                                    ALBOCN_DR[b], ALBOCN_DF[b])
+            fdr = bsc(swdr_b[b])
+            fdf = bsc(swdf_b[b])
 
-        # net downward flux at each interface for the actual incident
-        F = [sol["net_dn_dir"][k] * fdr + sol["net_dn_dif"][k] * fdf
-             for k in range(K + 1)]
+            # net downward flux at each interface
+            F = [sol["net_dn_dir"][k] * fdr +
+                 sol["net_dn_dif"][k] * fdf for k in range(K + 1)]
 
-        # ksrf booking (:2952-3030): snow -> interface 1;
-        # bare -> interface n_srf_rows
-        F_ksrf = jnp.where(l_snow, F[1], F[n_srf_rows])
-        sfc_b = F[0] - F_ksrf
-        int_b = F_ksrf - F[K]
-        thru_b = F[K]
-        Sabs_b = [jnp.where(l_snow, F[k] - F[k + 1], 0.0)
-                  for k in range(1, ns_l + 1)]
-        # top ice layer: SSL+DL if snow-covered, DL only if bare
-        Iabs_b = [jnp.where(l_snow,
-                            F[ns_l + 1] - F[ns_l + 3],
-                            F[ns_l + 2] - F[ns_l + 3])]
-        for k in range(ni - 1):
-            Iabs_b.append(F[ns_l + 3 + k] - F[ns_l + 4 + k])
+            # ksrf booking (:2952-3030): snow -> interface 1;
+            # bare -> interface n_srf_rows
+            F_ksrf = jnp.where(snow_mask, F[1], F[n_srf_rows])
+            sfc_b = F[0] - F_ksrf
+            int_b = F_ksrf - F[K]
+            thru_b = F[K]
+            Sabs_b = [jnp.where(snow_mask, F[k] - F[k + 1], 0.0)
+                      for k in range(1, ns_l + 1)]
+            # top ice layer: SSL+DL if snow-covered, DL only if bare
+            Iabs_b = [jnp.where(snow_mask,
+                                F[ns_l + 1] - F[ns_l + 3],
+                                F[ns_l + 2] - F[ns_l + 3])]
+            for k in range(ni - 1):
+                Iabs_b.append(F[ns_l + 3 + k] - F[ns_l + 4 + k])
+            return sol, sfc_b, int_b, thru_b, Sabs_b, Iabs_b
 
-        w_sb = fs + fi          # snow+bare handled by one solve
-        abs_srf = abs_srf + w_sb * sfc_b
-        abs_int = abs_int + w_sb * int_b
-        fswthru = fswthru + w_sb * thru_b
-        for k in range(ns_l):
-            Sswabs = Sswabs.at[..., k].add(w_sb * Sabs_b[k])
-        for k in range(ni):
-            Iswabs = Iswabs.at[..., k].add(w_sb * Iabs_b[k])
-        a_dr = w_sb * sol["albedo_dr"]
-        a_df = w_sb * sol["albedo_df"]
+        # with hs0=0 snow cover is all-or-nothing per category and one
+        # solve covers both surface types (l_snow selects the stack);
+        # with hs0>0 the snow-covered (fs) and bare (fi) fractions see
+        # DIFFERENT columns (reference run_dEdd srftyp 0/1 splits)
+        if hs0 > c.PUNY:
+            parts = [(fs, sb_solve(l_snow)),
+                     (fi, sb_solve(jnp.zeros_like(l_snow)))]
+        else:
+            parts = [(fs + fi, sb_solve(l_snow))]
+        a_dr = zero
+        a_df = zero
+        for w_sb, (sol, sfc_b, int_b, thru_b, Sabs_b, Iabs_b) in parts:
+            abs_srf = abs_srf + w_sb * sfc_b
+            abs_int = abs_int + w_sb * int_b
+            fswthru = fswthru + w_sb * thru_b
+            for k in range(ns_l):
+                Sswabs = Sswabs.at[..., k].add(w_sb * Sabs_b[k])
+            for k in range(ni):
+                Iswabs = Iswabs.at[..., k].add(w_sb * Iabs_b[k])
+            a_dr = a_dr + w_sb * sol["albedo_dr"]
+            a_df = a_df + w_sb * sol["albedo_df"]
 
         # ponded surface type (srftyp==2)
         if apnd is not None:
+            fdr = bsc(swdr_b[b])
+            fdf = bsc(swdf_b[b])
             ki_p_ssl, wi_p_ssl = _tune_iops(KI_P_SSL[b], WI_P_SSL[b],
                                             R_pnd, FP_PND, FM_PND)
             ki_p_int, wi_p_int = _tune_iops(KI_P_INT[b], WI_P_INT[b],

@@ -119,7 +119,8 @@ AREA_TRACER_NAMES = ("surfaceTemperature", "iceAge", "firstYearIceArea",
                      "pondLidThickness", "brineHeight")
 ICE_TRACER_NAMES = ("iceEnthalpy", "iceSalinity", "levelIceVolume",
                     "iceScatteringAerosol", "iceBodyAerosol",
-                    "bioTracers", "verticalSalinity")
+                    "bioTracers", "bioMobileFraction", "sklBgc",
+                    "verticalSalinity")
 SNOW_TRACER_NAMES = ("snowEnthalpy", "snowIceMass", "snowLiquidMass",
                      "snowGrainRadius", "snowScatteringAerosol",
                      "snowBodyAerosol")
@@ -176,10 +177,12 @@ class ColumnPhysics:
                  use_snicar: bool = False,
                  use_brine_height: bool = False,
                  use_biogeochemistry: bool = False,
+                 use_skeletal_bgc: bool = False,
                  n_algae: int = 1, n_bio_layers: int = 7,
                  solve_zsalinity: bool = False,
                  zbgc_params=None,
-                 shortwave_tuning: Optional[Dict[str, float]] = None):
+                 shortwave_tuning: Optional[Dict[str, float]] = None,
+                 tunables=None):
         if ktherm not in (0, 1, 2):
             raise ValueError(f"unsupported ktherm={ktherm}")
         if kstrength not in (0, 1):
@@ -233,9 +236,17 @@ class ColumnPhysics:
         # reference shortwave nml_record tuning (Registry shortwave
         # record): ccsm3 albedos + dEdd R_ice/R_pnd/R_snw adjusters
         self.shortwave_tuning = dict(shortwave_tuning or {})
+        from .tuning import DEFAULT as _TUN_DEFAULT
+        self.tun = tunables if tunables is not None else _TUN_DEFAULT
         self.use_brine_height = use_brine_height or use_biogeochemistry \
             or solve_zsalinity
         self.use_biogeochemistry = use_biogeochemistry
+        if use_skeletal_bgc and use_biogeochemistry:
+            raise ValueError(
+                "skeletal and vertical-layer biogeochemistry are "
+                "mutually exclusive (reference dispatches one of "
+                "skl_biogeochemistry / z_biogeochemistry)")
+        self.use_skeletal_bgc = use_skeletal_bgc
         self.n_bio_layers = n_bio_layers
         self.solve_zsalinity = solve_zsalinity
         if use_biogeochemistry or zbgc_params is not None:
@@ -254,8 +265,11 @@ class ColumnPhysics:
         aice = aicen.sum(-1)
         if self.kstrength == 1:
             aice0 = jnp.maximum(1.0 - aice, 0.0)
-            return ice_strength_rothrock(aicen, vicen, aice, aice0,
-                                         self.hin_max)
+            return ice_strength_rothrock(
+                aicen, vicen, aice, aice0, self.hin_max,
+                Cf=self.tun.ratio_ridging_work_to_pe,
+                krdg_partic=self.krdg_partic,
+                krdg_redist=self.krdg_redist, mu_rdg=self.mu_rdg)
         return ice_strength_hibler(aice, vicen.sum(-1))
 
     # -- radiation (reference colpkg_step_radiation / prep_radiation) ----
@@ -273,6 +287,22 @@ class ColumnPhysics:
                     if self.pond_scheme == "lvl" and \
                             "levelIceArea" in tracers:
                         fpond = apnd * tracers["levelIceArea"]
+                    # snow-on-pond-lid taper (reference run_dEdd
+                    # :1030-1035, hs1): reduce the effective pond
+                    # fraction where snow sits on a refrozen lid.
+                    # Approximation: the reference tapers with the
+                    # snow depth ON the pond (dhsn tracer); without
+                    # that tracer the category snow depth stands in.
+                    hs1 = self.tun.snow_on_pond_ice_tapering_parameter
+                    ipnd = tracers.get("pondLidThickness")
+                    if hs1 > 0.0 and ipnd is not None:
+                        safe_a = jnp.where(aicen > 1e-11, aicen, 1.0)
+                        hsn_cat = jnp.where(aicen > 1e-11,
+                                            vsnon / safe_a, 0.0)
+                        asnow = jnp.minimum(hsn_cat / hs1, 1.0)
+                        fpond = jnp.where(ipnd > 1e-11,
+                                          (1.0 - asnow) * fpond,
+                                          fpond)
                     kwargs = dict(apnd=fpond, hpnd=hpnd)
             if self.use_snow_tracers and "snowGrainRadius" in tracers:
                 kwargs["rsnw"] = tracers["snowGrainRadius"]
@@ -302,6 +332,8 @@ class ColumnPhysics:
             for k in ("R_snw", "dT_mlt", "rsnw_mlt"):
                 if k in tune:
                     kwargs[k] = tune[k]
+            kwargs["hs0"] = self.tun.snow_to_ice_transition_depth
+            kwargs["kalg"] = self.tun.algae_absorption_coefficient
             return shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
                                   swvdr, swvdf, swidr, swidf,
                                   self.ni, self.ns, **kwargs)
@@ -418,7 +450,7 @@ class ColumnPhysics:
             strocny = jnp.zeros_like(aice)
         Tbot, fbot_cell, rside = frzmlt_bottom_lateral(
             dt, aice, ocn.frzmlt, ocn.sst, ocn.freezing_temperature,
-            strocnx, strocny, etot)
+            strocnx, strocny, etot, tun=self.tun)
         # the same unscaled per-area fbot applies to every category
         # (reference colpkg_step_therm1 -> thermo_vertical; the frzmlt
         # limiter above already accounts for the total extraction)
@@ -458,7 +490,7 @@ class ColumnPhysics:
                 ktherm=ktherm,
                 sss=pc(ocn.sss) if ktherm == 2 else None,
                 frain=pc(atm.rain_rate),
-                apond=apond_cat, hpond=hpnd,
+                apond=apond_cat, hpond=hpnd, tun=self.tun,
                 smice=smice, smliq=smliq, rsnw=rsnw)
         else:
             # package off: therm1 skipped, state passes through
@@ -582,6 +614,28 @@ class ColumnPhysics:
             (at2, it2, bgc_diags) = self.step_biogeochemistry(
                 dt, aicen2, vicen2, vsnon2, aicen_init, vicen_init,
                 at2, it2, tv, sw.fswthru, pc(Tbot), ocn)
+        if self.use_skeletal_bgc and "sklBgc" in it2:
+            # skeletal (bottom ~3 cm) biogeochemistry (reference
+            # ice_algae.F90 skl_biogeochemistry, dispatched by
+            # config_use_skeletal_biochemistry)
+            from .bgc import SklBgcState, step_skl_bgc
+            skl_has = (aicen2 > c.PUNY) & (vicen2 > c.PUNY)
+            s = it2["sklBgc"]
+            fresh_skl = (~(s[..., 0] > c.PUNY)) & skl_has
+            algal0 = jnp.where(fresh_skl, 0.16, s[..., 0])
+            no3_0 = jnp.where(fresh_skl, 5.0, s[..., 1])
+            sio3_0 = jnp.where(fresh_skl, 10.0, s[..., 2])
+            res = step_skl_bgc(
+                dt, SklBgcState(algal0, no3_0, sio3_0), aicen2,
+                vicen2, sw.fswthru, pc(Tbot), 5.0, 10.0)
+            it2["sklBgc"] = jnp.where(
+                skl_has[..., None],
+                jnp.stack([res.state.algalN, res.state.NO3,
+                           res.state.SiO3], axis=-1), 0.0)
+            bgc_diags = dict(bgc_diags)
+            bgc_diags["skl_pp"] = res.primary_production
+            bgc_diags["skl_chla"] = res.chlorophyll
+            bgc_diags["skl_no3_flux"] = res.nitrate_flux_ocean
 
         # aggregate per-category atmosphere fluxes (area-weighted)
         def agg(x):
@@ -749,9 +803,16 @@ class ColumnPhysics:
             Cb = jnp.where(fresh_ice[..., None, None],
                            p.initbio_frac * ocean_bio[:, None] *
                            jnp.ones_like(Cb), Cb)
+            frac = it2.get("bioMobileFraction")
+            if frac is not None:
+                frac = jnp.where(fresh_ice[..., None], 1.0, frac)
             zr = zbgc_transport_react(
                 dt, Cb, ms.iphin, ms.iDin, hb.darcy_v, hb.hbr,
-                pf.hbr_old, pf.dhbr_bot, fswthru, Tbot, ocean_bio, p)
+                pf.hbr_old, pf.dhbr_bot, fswthru, Tbot, ocean_bio, p,
+                frac=frac)
+            if frac is not None and zr.frac_new is not None:
+                it2["bioMobileFraction"] = jnp.where(
+                    has[..., None], zr.frac_new, 1.0)
             it2["bioTracers"] = jnp.where(
                 has[..., None], zr.tracers.reshape(bio.shape), 0.0)
             diags["flux_bio"] = (zr.flux_bio * aicen[..., None]).sum(-2)
@@ -829,15 +890,16 @@ class ColumnPhysics:
             qin1, -sin1 * c.DEPRESST)
         rsnw_n, smice_n, smliq_n = update_snow_radius(
             dt, rsnw, aicen, vicen, vsnon, zqsn, tsfc, zTin1,
-            smice, smliq)
+            smice, smliq, tun=self.tun)
         out = dict(tracers)
         out["snowGrainRadius"] = rsnw_n
         out["snowIceMass"] = smice_n
         out["snowLiquidMass"] = smliq_n
         rhos_eff = snow_effective_density(smice_n, smliq_n)
         rhos_cmp = wind_compaction(dt, wind[..., None, None] *
-                                   jnp.ones_like(rhos_eff), rhos_eff)
-        _, fsloss = wind_snow_loss(wind, snow_rate)
+                                   jnp.ones_like(rhos_eff), rhos_eff,
+                                   tun=self.tun)
+        _, fsloss = wind_snow_loss(wind, snow_rate, tun=self.tun)
         diags = {"rhos_eff": rhos_eff.mean(-1), "rhos_cmp":
                  rhos_cmp.mean(-1), "fsloss": fsloss}
         if self.snwredist != "none":
@@ -848,7 +910,7 @@ class ColumnPhysics:
                 out["snowEnthalpy"], rhos_cmp,
                 scheme=self.snwredist,
                 alvl=out.get("levelIceArea"),
-                vlvl=out.get("levelIceVolume"))
+                vlvl=out.get("levelIceVolume"), tun=self.tun)
             out["snowVolumeCategory"] = rd.vsnon
             out["snowEnthalpy"] = rd.zqsn
             diags["rhos_cmp"] = rd.rhos_cmpn.mean(-1)

@@ -64,7 +64,7 @@ def permeability_mush(phi):
 
 
 def explicit_flow_velocities(dt, zSin, zTin, Tsf, Tbot, sss, qocn,
-                             hilyr, hin):
+                             hilyr, hin, tun=None):
     """Rapid-mode Darcy flow q and slow-mode desalination rate dSdt
     (reference explicit_flow_velocities :3005-3176). The reference's
     bottom-up running accumulations (min permeability, harmonic-mean
@@ -74,6 +74,8 @@ def explicit_flow_velocities(dt, zSin, zTin, Tsf, Tbot, sss, qocn,
     zSin/zTin [*B, ni]; the rest [*B]. Returns (q, dSdt, Sbr, qbr,
     phi) all [*B, ni]; q[k] is the upward interface flow under layer
     k."""
+    if tun is None:
+        from .tuning import DEFAULT as tun
     ni = zSin.shape[-1]
     Sbr = liquidus_brine_salinity(zTin)
     phi = liquid_fraction(zTin, zSin)
@@ -99,18 +101,21 @@ def explicit_flow_velocities(dt, zSin, zTin, Tsf, Tbot, sss, qocn,
 
     rn = jnp.asarray(ni - np.arange(ni), zSin.dtype)  # layers k..bottom
     L = rn * hilyr[..., None]
-    dx2 = (L * 2.0 * ASPECT_RAPID_MODE) ** 2
+    dx2 = (L * 2.0 * tun.rapid_mode_aspect_ratio) ** 2
     Am = dx2 * rn / (c.VISCOSITY_DYN * perm_harm)
     Bm = -c.GRAVIT * rho_sum / rn
-    Ap = np.pi * A_RAPID_MODE ** 4 / (8.0 * c.VISCOSITY_DYN)
+    Ap = np.pi * tun.rapid_mode_channel_radius ** 4 / \
+        (8.0 * c.VISCOSITY_DYN)
     Bp = -rho_pipe * c.GRAVIT
     q = jnp.maximum((Am / dx2) * ((-Ap * Bp - Am * Bm) / (Am + Ap) +
                                   Bm), 1.0e-30)
-    q = jnp.minimum(q * jnp.maximum(Ra - RAC_RAPID_MODE, 0.0) /
+    q = jnp.minimum(q * jnp.maximum(
+        Ra - tun.rapid_mode_critical_ra, 0.0) /
                     (Ra + c.PUNY), qlimit)
 
-    dSdt = DSDT_SLOW_MODE * \
-        jnp.maximum(zSin - PHI_C_SLOW_MODE * Sbr, 0.0) * \
+    dSdt = tun.slow_mode_drainage_strength * \
+        jnp.maximum(zSin - tun.slow_mode_critical_porosity * Sbr,
+                    0.0) * \
         jnp.maximum(Tbot - Tsf, 0.0)[..., None] / \
         (hin[..., None] + 0.001)
     dSdt = jnp.maximum(dSdt, -zSin * 0.5 / dt)
@@ -236,7 +241,8 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
                               fswsfc, fswint, Sswabs, Iswabs,
                               hilyr, hslyr, zqin, zSin, zqsn,
                               Tsf, Tbot, sss=None, hpond=None,
-                              apond=None) -> MushySolveResult:
+                              apond=None,
+                              tun=None) -> MushySolveResult:
     """Solve the mushy heat equation in all columns at once.
 
     Shapes as in bl99.temperature_changes. With sss given, gravity
@@ -277,7 +283,7 @@ def temperature_changes_mushy(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
     Spond = jnp.zeros_like(Tsf)
     if sss is not None:
         q, dSdt, _, _, _ = explicit_flow_velocities(
-            dt, zSin, zTin, Tsf, Tbot, sss, qocn, hil, hin)
+            dt, zSin, zTin, Tsf, Tbot, sss, qocn, hil, hin, tun=tun)
         if hpond is not None:
             hsn = jnp.where(l_snow, hsl * ns, 0.0)
             w = flushing_velocity(dt, zTin, phi, hin, hsn, hil,

@@ -51,12 +51,15 @@ def snow_wet_metamorph(dt, rsnw, smice, smliq):
 
 
 def snow_dry_metamorph(dt, rsnw, zqsn, Tsfc, zTin1, hsn, hin,
+                       tun=None,
                        tau=TAU_DEFAULT, kappa=KAPPA_DEFAULT,
                        drdt0=DRDT0_DEFAULT):
     """Temperature-gradient grain growth (reference snow_dry_metamorph):
     dr/dt = drdt0 * (tau / (dr_fresh + tau))^(1/kappa), with the aging
     parameters (from the SNICAR table in the reference) as inputs.
     Single-snow-layer form of the gradient (nslyr=1 branch)."""
+    if tun is None:
+        from .tuning import DEFAULT as tun
     ns = zqsn.shape[-1]
     dzs = hsn[..., None] / ns
     dzi = hin[..., None] / jnp.maximum(1, 1)
@@ -67,25 +70,30 @@ def snow_dry_metamorph(dt, rsnw, zqsn, Tsfc, zTin1, hsn, hin,
     dTdz = jnp.abs(t_int - Tsfc[..., None]) / \
         jnp.maximum(hsn[..., None], c.PUNY)
     del dTdz   # gradient feeds the table lookup; parametric default here
-    dr_fresh = jnp.maximum(0.0, rsnw - RSNW_FALL)
+    dr_fresh = jnp.maximum(0.0, rsnw - tun.fallen_snow_radius)
     drdt = drdt0 * (tau / (dr_fresh + tau)) ** (1.0 / kappa)
     return drdt * (dt / 3600.0)
 
 
 def update_snow_radius(dt, rsnw, aicen, vicen, vsnon, zqsn, Tsfc, zTin1,
-                       smice, smliq):
+                       smice, smliq, tun=None):
     """Combined metamorphism update (reference update_snow_radius).
     rsnw [*B, nCat, ns]; returns (rsnw, smice, smliq)."""
+    if tun is None:
+        from .tuning import DEFAULT as tun
     has = (vsnon > c.PUNY) & (vicen > c.PUNY)
     safe_a = jnp.where(aicen > c.PUNY, aicen, 1.0)
     hsn = jnp.where(aicen > c.PUNY, vsnon / safe_a, 0.0)
     hin = jnp.where(aicen > c.PUNY, vicen / safe_a, 0.0)
-    dr_dry = snow_dry_metamorph(dt, rsnw, zqsn, Tsfc, zTin1, hsn, hin)
+    dr_dry = snow_dry_metamorph(dt, rsnw, zqsn, Tsfc, zTin1, hsn,
+                                hin, tun=tun)
     dr_wet = snow_wet_metamorph(dt, rsnw, smice, smliq)
-    r_new = jnp.minimum(RSNW_TMAX, rsnw + dr_dry + dr_wet)
+    r_new = jnp.minimum(tun.max_dry_snow_radius,
+                        rsnw + dr_dry + dr_wet)
     h = has[..., None]
     r_out = jnp.where(h, r_new,
-                      jnp.clip(rsnw, RSNW_FALL, RSNW_TMAX))
+                      jnp.clip(rsnw, tun.fallen_snow_radius,
+                               tun.max_dry_snow_radius))
     smice_out = jnp.where(h, smice, c.RHOS)
     smliq_out = jnp.where(h, smliq, 0.0)
     return r_out, smice_out, smliq_out
@@ -119,22 +127,32 @@ def drain_snow(dt, vsnon, aicen, smice, smliq):
     return jnp.stack(out_layers, axis=-1), meltsliq
 
 
-def wind_snow_loss(wind, snow_rate):
+def wind_snow_loss(wind, snow_rate, tun=None):
     """Bulk '30percent' scheme: a fraction of snowfall is blown into
     leads at high wind (reference snow_redist bulk branch). Returns
     (retained snowfall rate, loss rate), both [*B]."""
-    gamma = jnp.clip((wind - WIND_MIN) / WIND_MIN, 0.0, 1.0)
+    if tun is None:
+        from .tuning import DEFAULT as tun
+    wmin = tun.minimum_wind_compaction
+    gamma = jnp.clip((wind - wmin) / wmin, 0.0, 1.0)
     loss = SNOW_LOSS_FRAC * gamma * snow_rate
     return snow_rate - loss, loss
 
 
-def wind_compaction(dt, wind, rhos_eff):
+def wind_compaction(dt, wind, rhos_eff, tun=None):
     """Wind compaction of the near-surface snow density (reference
     snow_redist: drhos/dt = drhosdwind * (wind - windmin), capped)."""
-    drho = jnp.where(wind > WIND_MIN,
-                     DRHOS_DWIND * (wind - WIND_MIN) * dt / 86400.0,
-                     0.0)
-    return jnp.minimum(rhos_eff + drho, RHOS_MAX)
+    if tun is None:
+        from .tuning import DEFAULT as tun
+    # reference ice_snow.F90:79: densities below rhosmin (100 kg/m^3)
+    # reset to the new-snow density
+    rhos_eff = jnp.where(rhos_eff < 100.0, tun.new_snow_density,
+                         rhos_eff)
+    drho = jnp.where(wind > tun.minimum_wind_compaction,
+                     tun.wind_compaction_factor *
+                     (wind - tun.minimum_wind_compaction) *
+                     dt / 86400.0, 0.0)
+    return jnp.minimum(rhos_eff + drho, tun.max_snow_density)
 
 
 def snow_effective_density(smice, smliq):
@@ -154,7 +172,7 @@ class SnowRedistResult(NamedTuple):
 
 def snow_redistribution(dt, wind, fsnow, aicen, vicen, vsnon, zqsn,
                         rhos_cmpn, scheme: str = "ITDsd",
-                        alvl=None, vlvl=None):
+                        alvl=None, vlvl=None, tun=None):
     """Wind redistribution of snow across the thickness distribution
     (reference snow_redist, ice_snow.F90:119-593): wind suspends snow
     (up to the seasonal-wind compaction threshold of the top-layer
@@ -170,6 +188,8 @@ def snow_redistribution(dt, wind, fsnow, aicen, vicen, vsnon, zqsn,
     [*B].  Returns SnowRedistResult with ocean fluxes as rates."""
     f = zqsn.dtype
     ns = zqsn.shape[-1]
+    if tun is None:
+        from .tuning import DEFAULT as tun
     ncat = aicen.shape[-1]
     GAMMA = 1.0e-5
     REFSD = 1.0
@@ -220,8 +240,8 @@ def snow_redistribution(dt, wind, fsnow, aicen, vicen, vsnon, zqsn,
     vseas = jnp.maximum((rhos_cmpn[..., 0] - 44.6) / 174.0, 0.0)
     msusp_n = aicen * GAMMA * dt * \
         jnp.maximum(wind[..., None] - vseas, 0.0) * \
-        (RHOS_MAX - rhos_cmpn[..., 0]) / \
-        (RHOS_MAX * jnp.maximum(itdsd, c.PUNY)[..., None])
+        (tun.max_snow_density - rhos_cmpn[..., 0]) / \
+        (tun.max_snow_density * jnp.maximum(itdsd, c.PUNY)[..., None])
     msusp = jnp.where(itdsd > c.PUNY, msusp_n.sum(-1), 0.0)
 
     # erosion top-down (:331-356): layer k erodes
@@ -296,7 +316,7 @@ def snow_redistribution(dt, wind, fsnow, aicen, vicen, vsnon, zqsn,
     fhocn = (e_init - e_final) / dt
 
     # wind compaction of freshly fallen snow (:570-589)
-    drhos = DRHOS_DWIND * jnp.maximum(wind - WIND_MIN, 0.0)
+    drhos = tun.wind_compaction_factor * jnp.maximum(wind - tun.minimum_wind_compaction, 0.0)
     hslab = jnp.where(
         fsnow[..., None] > 0.0,
         jnp.maximum(jnp.minimum(
@@ -310,7 +330,7 @@ def snow_redistribution(dt, wind, fsnow, aicen, vicen, vsnon, zqsn,
         jnp.where((vsn_out > c.PUNY)[..., None],
                   rhos_cmpn + drhos[..., None, None] * frac,
                   rhos_cmpn),
-        RHOS_MAX)
+        tun.max_snow_density)
 
     return SnowRedistResult(vsnon=vsn_out, zqsn=zq_out,
                             rhos_cmpn=rhos_out, fresh=fresh,

@@ -42,12 +42,14 @@ PHI_I_MUSHY = 0.85       # solid fraction of new bottom mush (colpkg default)
 
 
 def frzmlt_bottom_lateral(dt, aice, frzmlt, sst, Tf, strocnxT, strocnyT,
-                          etot):
+                          etot, tun=None):
     """Ocean-ice bottom heat flux and lateral-melt fraction
     (reference frzmlt_bottom_lateral, ice_therm_vertical.F90:482-641).
 
     etot: total column energy sum over categories [B] (J/m^2, < 0).
     Returns (Tbot, fbot, rside)."""
+    if tun is None:
+        from .tuning import DEFAULT as tun
     floediam = 300.0
     floeshape = 0.66
     m1, m2 = 1.6e-6, 1.36
@@ -56,7 +58,7 @@ def frzmlt_bottom_lateral(dt, aice, frzmlt, sst, Tf, strocnxT, strocnyT,
     Tbot = Tf
     deltaT = jnp.maximum(sst - Tbot, 0.0)
     ustar = jnp.sqrt(jnp.sqrt(strocnxT ** 2 + strocnyT ** 2) / c.RHOW)
-    ustar = jnp.maximum(ustar, c.USTAR_MIN)
+    ustar = jnp.maximum(ustar, tun.min_friction_velocity)
     cpchr = -c.CP_OCN * c.RHOW * 0.006
     fbot = cpchr * deltaT * ustar
     fbot = jnp.maximum(fbot, frzmlt)
@@ -130,7 +132,8 @@ class ThicknessResult(NamedTuple):
 def thickness_changes(dt, hin, hsn, zqin, zqsn, zSin,
                       fbot, Tbot, flatn, fsurfn, fcondtopn, fcondbot,
                       fsnow, frain=None, ktherm: int = 1, sss=None,
-                      smice=None, smliq=None, rsnw=None) -> ThicknessResult:
+                      smice=None, smliq=None, rsnw=None,
+                      tun=None) -> ThicknessResult:
     """Growth and melt at the surfaces + layer re-gridding (reference
     thickness_changes, ice_therm_vertical.F90:1026-1744, including the
     ktherm==2 mushy branches and the tr_snow smice/smliq bookkeeping).
@@ -143,6 +146,8 @@ def thickness_changes(dt, hin, hsn, zqin, zqsn, zSin,
     hilyr = hin / ni
     hslyr = hsn / ns
     hslyr0 = hslyr
+    if tun is None:
+        from .tuning import DEFAULT as tun
     tr_snow = smice is not None
     dzi = [hilyr for _ in range(ni)]
     dzs = [hslyr for _ in range(ns)]
@@ -191,7 +196,8 @@ def thickness_changes(dt, hin, hsn, zqin, zqsn, zSin,
     # bottom growth (:1292-1345)
     if ktherm == 2:
         qbotm = enthalpy_mush(Tbot, sss)
-        qbotp = -c.LFRESH * c.RHOI * (1.0 - PHI_I_MUSHY)
+        qbotp = -c.LFRESH * c.RHOI * \
+            (1.0 - tun.congelation_ice_porosity)
         qbot0 = qbotm - qbotp
         dhi = ebot_gro / qbotp
         hqtot = dzi[ni - 1] * zqin_l[ni - 1] + dhi * qbotm
@@ -323,11 +329,10 @@ def thickness_changes(dt, hin, hsn, zqin, zqsn, zSin,
     if rsnw is not None:
         # incorporate fresh snow in the top-layer grain radius
         # (reference add_new_snow_radius)
-        from .snow import RSNW_FALL
         rsnw_l = [rsnw[..., k] for k in range(ns)]
         rsnw_l[0] = jnp.where(
             hstot_s > c.PUNY,
-            (dzs[0] * rsnw_l[0] + hsn_new * RSNW_FALL) /
+            (dzs[0] * rsnw_l[0] + hsn_new * tun.fallen_snow_radius) /
             jnp.maximum(hstot_s, c.PUNY), rsnw_l[0])
     if tr_snow:
         smicetot[0] = smicetot[0] + hsn_new * c.RHOS
@@ -511,7 +516,7 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
                     shcoef, lhcoef, *, ktherm: int = 1, sss=None,
                     frain=None, apond=None, hpond=None,
                     smice=None, smliq=None,
-                    rsnw=None) -> ThermoVerticalResult:
+                    rsnw=None, tun=None) -> ThermoVerticalResult:
     """Per-category vertical thermodynamics driver (reference
     thermo_vertical, ice_therm_vertical.F90:53-471) with the ktherm
     dispatch of the reference (:286-335).
@@ -549,7 +554,7 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
             dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             fswsfc, fswint, Sswabs, Iswabs,
             hilyr, hslyr, zqin, zSin, zqsn, Tsf, Tbot,
-            sss=sss, hpond=hpond, apond=apond)
+            sss=sss, hpond=hpond, apond=apond, tun=tun)
         zqin2, zqsn2, zSin2 = res.zqin, res.zqsn, res.zSin
         fadvocn = res.fadvheat
         # pond flushing (reference :327)
@@ -604,7 +609,7 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
         fbot, Tbot, solver_fluxes.flatn, solver_fluxes.fsurfn,
         solver_fluxes.fcondtopn, solver_fluxes.fcondbot, fsnow,
         frain=frain, ktherm=ktherm, sss=sss,
-        smice=smice, smliq=smliq, rsnw=rsnw)
+        smice=smice, smliq=smliq, rsnw=rsnw, tun=tun)
 
     snoice_tot = th.snoice + snoice_flood
 

@@ -169,6 +169,35 @@ class ZbgcParams:
     ocean_hum: float = 1.0          # mmol C/m^3 (colpkg_init_ocean_conc)
     initbio_frac: float = 1.0
     frazil_scav: float = 1.0
+    # mobile/stationary phase partitioning (reference
+    # ice_zbgc_shared.F90 bgc_tracer_type + tau_ret/tau_rel;
+    # Registry config_mobility_type_* / config_*_mobile_to_stationary_
+    # time).  type < 0: purely mobile; [0,0.5): retain fast, release
+    # slow; [0.5,1): both fast; [1,2): retain slow, release fast;
+    # >= 2: both slow (ice_colpkg.F90:1507-1523)
+    mobility_type_diatoms: float = 0.0
+    mobility_type_small_plankton: float = 0.0
+    mobility_type_phaeocystis: float = 0.0
+    mobility_type_nitrate: float = -1.0
+    mobility_type_ammonium: float = 0.0
+    mobility_type_silicate: float = -1.0
+    mobility_type_DMSPp: float = 0.5
+    mobility_type_DMSPd: float = 0.0
+    mobility_type_humics: float = 0.0
+    mobility_type_saccharids: float = 0.0
+    mobility_type_lipids: float = 0.0
+    mobility_type_inorganic_carbon: float = -1.0
+    mobility_type_proteins: float = 0.0
+    mobility_type_dissolved_iron: float = 0.0
+    mobility_type_particulate_iron: float = 0.5
+    mobility_type_black_carbon1: float = 0.0
+    mobility_type_black_carbon2: float = 0.0
+    mobility_type_dust1: float = 0.0
+    mobility_type_dust2: float = 0.0
+    mobility_type_dust3: float = 0.0
+    mobility_type_dust4: float = 0.0
+    rapid_mobile_to_stationary_time: float = 3600.0    # s
+    long_mobile_to_stationary_time: float = 604800.0   # s
 
     # -- roster indexing (nlt_bgc_* analog) -----------------------------------
 
@@ -223,6 +252,53 @@ class ZbgcParams:
             else:
                 vals.append(getattr(self, "ocean_" + name))
         return jnp.asarray(vals, dtype)
+
+    def tracer_types(self) -> np.ndarray:
+        """bgc_tracer_type per slot (ice_zbgc_shared.F90:70-75)."""
+        algal = [self.mobility_type_diatoms,
+                 self.mobility_type_small_plankton,
+                 self.mobility_type_phaeocystis]
+        out = []
+        for name, n in self._roster():
+            if name == "N":
+                out += algal[:n]
+            elif name == "Nit":
+                out.append(self.mobility_type_nitrate)
+            elif name == "Am":
+                out.append(self.mobility_type_ammonium)
+            elif name == "Sil":
+                out.append(self.mobility_type_silicate)
+            elif name == "DOC":
+                out += [self.mobility_type_saccharids,
+                        self.mobility_type_lipids][:n]
+            elif name == "DIC":
+                out.append(self.mobility_type_inorganic_carbon)
+            elif name == "DON":
+                out.append(self.mobility_type_proteins)
+            elif name == "Fed":
+                out.append(self.mobility_type_dissolved_iron)
+            elif name == "Fep":
+                out.append(self.mobility_type_particulate_iron)
+            elif name == "DMSPd":
+                out.append(self.mobility_type_DMSPd)
+            elif name == "DMS":
+                out.append(-1.0)      # dissolved gas: purely mobile
+            elif name == "PON":
+                out.append(self.mobility_type_nitrate)
+            elif name == "hum":
+                out.append(self.mobility_type_humics)
+        return np.asarray(out)
+
+    def phase_timescales(self):
+        """(tau_ret, tau_rel) per slot from the tracer types
+        (reference ice_colpkg.F90:1507-1523)."""
+        t = self.tracer_types()
+        tmin = self.rapid_mobile_to_stationary_time
+        tmax = self.long_mobile_to_stationary_time
+        tau_ret = np.where(t < 0.5, tmin, tmax)
+        tau_rel = np.where((t >= 0.5) & (t < 2.0), tmin, tmax)
+        tau_rel = np.where(t < 0.0, tmin, tau_rel)
+        return tau_ret, tau_rel
 
 
 class ReactionResult(NamedTuple):
@@ -574,11 +650,13 @@ class ZbgcResult(NamedTuple):
     zoo: jnp.ndarray            # column N closure sink (mmol N/m^2)
     nitrification: jnp.ndarray  # column nitrification (mmol N/m^2)
     cerror: jnp.ndarray         # max |carbon residual| (mmol C/m^3)
+    frac_new: jnp.ndarray = None  # [*B, n_bio] updated mobile fraction
 
 
 def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
                          dh_bot, fswpen, T_bot, ocean_bio,
-                         p: ZbgcParams, flux_bio_atm=None):
+                         p: ZbgcParams, flux_bio_atm=None,
+                         frac=None):
     """One z-biogeochemistry step for all tracers at once
     (reference z_biogeochemistry :794-1497).
 
@@ -587,8 +665,13 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
     hbr/hbr_old [*B]; dh_bot [*B] bottom growth (+) / melt (-);
     fswpen [*B] shortwave at the ice interior; ocean_bio [n_bio]
     or [*B, n_bio].  flux_bio_atm [*B, n_bio]: atmospheric deposition
-    (snow->brine source, mmol/m^2/s).
-    Returns ZbgcResult."""
+    (snow->brine source, mmol/m^2/s).  frac [*B, n_bio]: mobile
+    fraction per tracer (the zbgc_frac tracer); when given, each
+    tracer splits into a brine-mobile phase (vertically transported)
+    and an ice-attached stationary phase, with retention/release
+    exchange per the tracer's mobility type
+    (ice_algae.F90:1113-1226); reactions act on the total.
+    Returns ZbgcResult (frac_new set when frac was given)."""
     K = C.shape[-1]
     nblyr = K - 1
     zspace = np.full(K, 1.0 / nblyr)
@@ -597,6 +680,27 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
     zspace_j = jnp.asarray(zspace, C.dtype)
     hbr_s = jnp.maximum(hbr, c.PUNY)
     ocean_b = jnp.broadcast_to(ocean_bio, C.shape[:-1])
+
+    C_stat = None
+    if frac is not None:
+        # mobile/stationary split + phase exchange (reference
+        # ice_algae.F90:1193-1226): melting releases, growth retains
+        types = jnp.asarray(p.tracer_types(), C.dtype)
+        tau_ret_np, tau_rel_np = p.phase_timescales()
+        tau_ret = jnp.asarray(tau_ret_np, C.dtype)
+        tau_rel = jnp.asarray(tau_rel_np, C.dtype)
+        melting = (hbr < hbr_old)[..., None]             # [*B, 1]
+        rtau_ret = jnp.where(melting, 0.0, 1.0 / tau_ret)
+        rtau_rel = jnp.where(melting, 1.0 / tau_rel, 0.0)
+        mobile_f = (types >= 0.0).astype(C.dtype)[..., None]
+        Cm = C * frac[..., None]
+        Cs = jnp.maximum(C - Cm, 0.0)
+        dmob = mobile_f * Cm * (jnp.exp(-dt * rtau_ret)[..., None]
+                                - 1.0) + \
+            Cs * (1.0 - jnp.exp(-dt * rtau_rel)[..., None])
+        Cm = jnp.maximum(Cm + dmob, 0.0)
+        C_stat = jnp.maximum(Cs - dmob, 0.0)
+        C = Cm
 
     # --- implicit vertical diffusion + upwind Darcy advection -------
     # nondimensional advective velocity (1/s): Darcy flushing through
@@ -652,6 +756,20 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
     # (the reference's FCT correction; boundary exchange untouched)
     C2 = _fct_antidiffusion(C, C_low, w[..., None], dt, dx)
 
+    # recombine phases: the stationary part saw no vertical
+    # transport; the new mobile fraction is the transported share of
+    # the column totals (reference sum_new/sum_tot,
+    # ice_algae.F90:1296-1307)
+    frac_new = None
+    if C_stat is not None:
+        wgt = (iphin[..., None, :] * zspace_j)
+        num = (C2 * wgt).sum(-1)
+        den = ((C2 + C_stat) * wgt).sum(-1)
+        frac_new = jnp.where(den > c.PUNY, num /
+                             jnp.maximum(den, c.PUNY), 1.0)
+        frac_new = jnp.clip(frac_new, 0.0, 1.0)
+        C2 = C2 + C_stat
+
     # atmospheric deposition into the top layer (zbgc_atm/snow source)
     if flux_bio_atm is not None:
         C2 = C2.at[..., 0].add(
@@ -703,4 +821,4 @@ def zbgc_transport_react(dt, C, iphin, iDin, darcy_v, hbr, hbr_old,
     return ZbgcResult(tracers=C3, flux_bio=flux_ocn, pp_net=pp_net,
                       grow_net=grow_net / K, up_NO=upNO, up_NH=upNH,
                       chla=chla, zoo=zoo_col, nitrification=nitrif_col,
-                      cerror=cerr)
+                      cerror=cerr, frac_new=frac_new)

@@ -113,6 +113,9 @@ class ColumnConfig:
     use_ridging: bool = True
     use_snow_tracers: bool = False
     use_biogeochemistry: bool = False
+    # skeletal (bottom-layer) biogeochemistry
+    # (config_use_skeletal_biochemistry; ice_algae.F90 skl mode)
+    use_skeletal_biochemistry: bool = False
     # scheme selectors (reference ice_colpkg_shared.F90:20-150)
     ktherm: int = 1                 # 0: zero-layer, 1: BL99, 2: mushy
     shortwave: str = "ccsm3"        # 'ccsm3' | 'dEdd'
@@ -162,6 +165,26 @@ class ColumnConfig:
     r_snw: float = 1.5             # config_snow_shortwave_tuning_parameter
     dt_mlt: float = 1.5            # config_temp_change_snow_grain_radius_…
     rsnw_mlt: float = 1500.0       # config_max_melting_snow_grain_radius
+    # -- physics tunables (column/tuning.py Tunables; Registry
+    #    thermodynamics / snow / ridging / shortwave / meltponds /
+    #    ocean records) --
+    rapid_mode_channel_radius: float = 0.5e-3
+    rapid_mode_critical_ra: float = 10.0   # config_rapid_model_critical_Ra
+    rapid_mode_aspect_ratio: float = 1.0
+    slow_mode_drainage_strength: float = -5.0e-8
+    slow_mode_critical_porosity: float = 0.05
+    congelation_ice_porosity: float = 0.85
+    fallen_snow_radius: float = 54.4
+    new_snow_density: float = 100.0
+    max_snow_density: float = 450.0
+    minimum_wind_compaction: float = 10.0
+    wind_compaction_factor: float = 27.3
+    max_dry_snow_radius: float = 2800.0
+    ratio_ridging_work_to_pe: float = 17.0  # config_ratio_ridging_work_to_PE
+    algae_absorption_coefficient: float = 0.6
+    snow_to_ice_transition_depth: float = 0.0   # dEdd hs0
+    snow_on_pond_ice_tapering_parameter: float = 0.03  # dEdd hs1
+    min_friction_velocity: float = 0.0005
     # zBGC reaction parameters (None = defaults for n_algae)
     zbgc_params: Optional[object] = None
 

@@ -313,7 +313,8 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                          halo_overlap=None,
                          panel_n: Optional[int] = None,
                          panel_mesh=None,
-                         unstructured_plan=None):
+                         unstructured_plan=None,
+                         plan_halo_exchange=None):
     """Build the dynamics-step function.
 
     The returned step takes the DynamicsTensors as its first ARGUMENT (not
@@ -369,6 +370,7 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
     fused_panel_all = None
     fused_unstructured = None
     panel_nppe = None
+    fused_unstructured_loop = None
     if use_pallas and panel_n is None and raster is None and \
             unstructured_plan is not None:
         # ANY-connectivity fused whole-loop kernel
@@ -376,18 +378,32 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
         if use_weak or relation != ConstitutiveRelation.EVP or \
                 v_cfg.average_variational_strains or \
                 not v_cfg.use_ocean_stress or \
-                v_cfg.ocean_stress_type != OceanStressType.QUADRATIC or \
-                halo_exchange_vertex is not None:
+                v_cfg.ocean_stress_type != OceanStressType.QUADRATIC:
             raise ValueError(
                 "use_fused_unstructured requires the variational scheme "
-                "with standard EVP, quadratic ocean stress, and a "
-                "single device")
-        from .pallas_unstructured import build_unstructured_solver
-        fused_unstructured = build_unstructured_solver(
-            unstructured_plan,
-            dt_elastic=dt_e, damping_timescale=damping_t,
-            n_subcycles=v_cfg.elastic_subcycle_number,
-            include_metric=v_cfg.include_metric_terms)
+                "with standard EVP and quadratic ocean stress")
+        if halo_exchange_vertex is None:
+            from .pallas_unstructured import build_unstructured_solver
+            fused_unstructured = build_unstructured_solver(
+                unstructured_plan,
+                dt_elastic=dt_e, damping_timescale=damping_t,
+                n_subcycles=v_cfg.elastic_subcycle_number,
+                include_metric=v_cfg.include_metric_terms)
+        elif plan_halo_exchange is not None:
+            # SHARDED: one fused kernel launch per subcycle, the
+            # per-subcycle vertex halo exchange interleaved in plan
+            # coordinates (reference exchanges every subcycle,
+            # velocity_solver.F:2546-2584)
+            from .pallas_unstructured import (
+                build_unstructured_loop_solver)
+            fused_unstructured_loop = build_unstructured_loop_solver(
+                unstructured_plan,
+                dt_elastic=dt_e, damping_timescale=damping_t,
+                include_metric=v_cfg.include_metric_terms)
+        else:
+            raise ValueError(
+                "use_fused_unstructured under sharding requires the "
+                "plan-order halo exchange (plan_halo_exchange)")
     elif use_pallas and panel_n is not None:
         # spherical panel meshes: fuse the cell-side subcycle pipeline
         # (dynamics/pallas_panel.py); vertex-side work stays in XLA
@@ -779,6 +795,26 @@ def make_velocity_solver(cfg: Config, dyn: DynamicsTensors = None,
                 solve_stress, uo_v, vo_v, mass_vertex, mass_f,
                 air_u + tilt_u, air_v + tilt_v, ocean_u, ocean_v,
                 solve_velocity, area_vertex)
+            s11, s22, s12 = t11.T, t22.T, t12.T
+        elif fused_unstructured_loop is not None:
+            # SHARDED fused path: one kernel launch per subcycle with
+            # the vertex halo exchange between launches; the state
+            # stays in plan layout across the loop (conversions once)
+            prep, step1, finish = fused_unstructured_loop
+            carry, ctx = prep(
+                dyn.unstructured, u, v, s11.T, s22.T, s12.T, pressure,
+                solve_stress, uo_v, vo_v, mass_vertex, mass_f,
+                air_u + tilt_u, air_v + tilt_v, ocean_u, ocean_v,
+                solve_velocity, area_vertex)
+
+            def body(_, carry):
+                carry = step1(dyn.unstructured, carry, ctx)
+                u_pl, v_pl = plan_halo_exchange(carry[0], carry[1])
+                return (u_pl, v_pl) + tuple(carry[2:])
+
+            carry = jax.lax.fori_loop(
+                0, v_cfg.elastic_subcycle_number, body, carry)
+            u, v, t11, t22, t12 = finish(dyn.unstructured, carry)
             s11, s22, s12 = t11.T, t22.T, t12.T
         elif fused_panel_all is not None:
             # ONE Pallas kernel runs the whole subcycle loop on the

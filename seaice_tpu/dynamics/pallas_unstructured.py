@@ -52,7 +52,8 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
                               damping_timescale: float,
                               n_subcycles: int, include_metric: bool,
                               interpret: Optional[bool] = None,
-                              _debug_skip: tuple = ()):
+                              _debug_skip: tuple = (),
+                              _loop_form: bool = False):
     """Build fn(plan, u, v, s11T, s22T, s12T, pressure, solve_stress,
     uo_v, vo_v, mass_vertex, mass_f, rhs_u0, rhs_v0, ocean_u, ocean_v,
     solve_velocity, area_vertex) -> (u, v, s11T, s22T, s12T)
@@ -123,9 +124,9 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
                 out = []
                 for f in range(F):
                     row = row_fns[f](k)                  # [1, 128]
-                    g = jnp.take_along_axis(
-                        jnp.broadcast_to(row, (nsub, LANES)), lanes,
-                        axis=1)
+                    # take_along_axis broadcasts the single source row
+                    # against the [nsub, 128] index tile
+                    g = jnp.take_along_axis(row, lanes, axis=1)
                     out.append(jnp.where(mask, g, carry[f]))
                 return tuple(out)
             init = tuple(jnp.zeros((nsub, LANES), dt)
@@ -280,44 +281,39 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
 
     # ---- XLA wrapper: ordering + layout conversion ----
 
-    def run(plan: UnstructuredPlan, u, v, s11T, s22T, s12T, pressure,
-            solve_stress, uo_v, vo_v, mass_vertex, mass_f,
-            rhs_u0, rhs_v0, ocean_u, ocean_v, solve_velocity,
-            area_vertex):
-        dt = u.dtype
-        nc, nv = m.nc, m.nv
-        nvp = R_V * LANES
-        ncp = NCHUNK * LANES
+    nc, nv = m.nc, m.nv
+    nvp = R_V * LANES
+    ncp = NCHUNK * LANES
 
-        def vplane(x):
-            xz = jnp.zeros((nvp,), dt).at[:nv].set(
-                x.astype(dt)[plan.vertex_perm])
-            return xz.reshape(R_V, LANES)
+    def vplane(plan, x, dt):
+        xz = jnp.zeros((nvp,), dt).at[:nv].set(
+            x.astype(dt)[plan.vertex_perm])
+        return xz.reshape(R_V, LANES)
 
-        def cplane_tiled(x):
-            """[nc] cell field -> [NGC, 32, 128] (each chunk's row
-            repeated over its 8 sublanes, grouped by CG)."""
-            xz = jnp.zeros((ncp,), dt).at[:nc].set(
-                x.astype(dt)[plan.cell_perm])
-            xc = xz.reshape(NCHUNK, 1, LANES)
-            xc = jnp.broadcast_to(xc, (NCHUNK, 8, LANES))
-            return xc.reshape(NGC, CG * 8, LANES)
+    def cplane_tiled(plan, x, dt):
+        """[nc] cell field -> [NGC, 32, 128] (each chunk's row
+        repeated over its 8 sublanes, grouped by CG)."""
+        xz = jnp.zeros((ncp,), dt).at[:nc].set(
+            x.astype(dt)[plan.cell_perm])
+        xc = xz.reshape(NCHUNK, 1, LANES)
+        xc = jnp.broadcast_to(xc, (NCHUNK, 8, LANES))
+        return xc.reshape(NGC, CG * 8, LANES)
 
-        def stiles(sT):
-            # [me, nc] ring corner stress -> [NCHUNK, 8, 128]
-            sp = jnp.zeros((8, ncp), dt).at[:me, :nc].set(
-                sT.astype(dt)[:, plan.cell_perm])
-            return jnp.moveaxis(sp.reshape(8, NCHUNK, LANES), 0, 1)
+    def stiles(plan, sT, dt):
+        # [me, nc] ring corner stress -> [NCHUNK, 8, 128]
+        sp = jnp.zeros((8, ncp), dt).at[:me, :nc].set(
+            sT.astype(dt)[:, plan.cell_perm])
+        return jnp.moveaxis(sp.reshape(8, NCHUNK, LANES), 0, 1)
 
-        inv = jnp.stack([
-            vplane(uo_v), vplane(vo_v), vplane(mass_vertex),
-            vplane(mass_f), vplane(rhs_u0), vplane(rhs_v0),
-            vplane(ocean_u), vplane(ocean_v),
-            vplane(solve_velocity), vplane(area_vertex)], axis=0)
+    def sring(plan, tp):
+        sp = jnp.moveaxis(tp, 1, 0).reshape(8, ncp)[:me, :nc]
+        return sp[:, plan.cell_inv]
 
+    def call_kernel(plan, press_t, ss_t, inv, u_pl, v_pl, t11, t22,
+                    t12):
+        dt = u_pl.dtype
         vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        n_in = 19
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((R_V, LANES), dt),
@@ -329,7 +325,7 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4,
                 grid=(1,),
-                in_specs=[vspec] * n_in,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 19,
                 out_specs=(vspec,) * 5,
                 scratch_shapes=[
                     pltpu.VMEM((2, NPAIR, LANES), dt),
@@ -343,19 +339,82 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
         )(plan.wrow, plan.kcount, plan.vprow, plan.vkcount,
           plan.ksel, plan.rlane, plan.vksel, plan.vrlane,
           plan.gx, plan.gy, plan.bu, plan.bv, plan.bm, plan.tlc,
-          plan.inv_den, cplane_tiled(pressure),
-          cplane_tiled(solve_stress), inv,
-          vplane(u), vplane(v),
-          stiles(s11T), stiles(s22T), stiles(s12T))
-        u2p, v2p, t11, t22, t12 = outs
+          plan.inv_den, press_t, ss_t, inv, u_pl, v_pl, t11, t22, t12)
 
+    def prepare(plan, u, v, s11T, s22T, s12T, pressure, solve_stress,
+                uo_v, vo_v, mass_vertex, mass_f, rhs_u0, rhs_v0,
+                ocean_u, ocean_v, solve_velocity, area_vertex):
+        dt = u.dtype
+        inv = jnp.stack([
+            vplane(plan, uo_v, dt), vplane(plan, vo_v, dt),
+            vplane(plan, mass_vertex, dt), vplane(plan, mass_f, dt),
+            vplane(plan, rhs_u0, dt), vplane(plan, rhs_v0, dt),
+            vplane(plan, ocean_u, dt), vplane(plan, ocean_v, dt),
+            vplane(plan, solve_velocity, dt),
+            vplane(plan, area_vertex, dt)], axis=0)
+        ctx = (cplane_tiled(plan, pressure, dt),
+               cplane_tiled(plan, solve_stress, dt), inv)
+        carry = (vplane(plan, u, dt), vplane(plan, v, dt),
+                 stiles(plan, s11T, dt), stiles(plan, s22T, dt),
+                 stiles(plan, s12T, dt))
+        return carry, ctx
+
+    def step1(plan, carry, ctx):
+        press_t, ss_t, inv = ctx
+        return call_kernel(plan, press_t, ss_t, inv, *carry)
+
+    def finish(plan, carry):
+        u2p, v2p, t11, t22, t12 = carry
         u2 = u2p.reshape(-1)[:nv][plan.vertex_inv]
         v2 = v2p.reshape(-1)[:nv][plan.vertex_inv]
+        return (u2, v2, sring(plan, t11), sring(plan, t22),
+                sring(plan, t12))
 
-        def sring(tp):
-            sp = jnp.moveaxis(tp, 1, 0).reshape(8, ncp)[:me, :nc]
-            return sp[:, plan.cell_inv]
+    if _loop_form:
+        return prepare, step1, finish
 
-        return u2, v2, sring(t11), sring(t22), sring(t12)
+    def run(plan, u, v, s11T, s22T, s12T, pressure, solve_stress,
+            uo_v, vo_v, mass_vertex, mass_f, rhs_u0, rhs_v0,
+            ocean_u, ocean_v, solve_velocity, area_vertex):
+        carry, ctx = prepare(
+            plan, u, v, s11T, s22T, s12T, pressure, solve_stress,
+            uo_v, vo_v, mass_vertex, mass_f, rhs_u0, rhs_v0,
+            ocean_u, ocean_v, solve_velocity, area_vertex)
+        carry = step1(plan, carry, ctx)
+        return finish(plan, carry)
 
     return run
+
+
+def build_unstructured_loop_solver(plan: UnstructuredPlan, *,
+                                   dt_elastic: float,
+                                   damping_timescale: float,
+                                   include_metric: bool,
+                                   interpret: Optional[bool] = None):
+    """Per-subcycle variant for the SHARDED path.
+
+    The reference exchanges the vertex velocity halo after EVERY
+    elastic subcycle (`mpas_seaice_velocity_solver.F:2546-2584`).
+    This exposes the fused kernel one subcycle at a time so the
+    caller interleaves the collective, with the state kept in the
+    plan's [rows, 128] layout across the whole loop (the layout /
+    ordering conversions happen once, not per subcycle):
+
+        prepare(plan, ...) -> (carry, ctx)
+        step1(plan, carry, ctx) -> carry   # one pallas_call
+        finish(plan, carry) -> (u, v, s11T, s22T, s12T)
+
+    carry = (u_pl, v_pl, t11, t22, t12) in plan layout; the caller
+    refreshes the u_pl/v_pl halos between step1 calls (in plan
+    coordinates — see parallel/sharded.py)."""
+    solver1 = build_unstructured_solver(
+        plan, dt_elastic=dt_elastic,
+        damping_timescale=damping_timescale, n_subcycles=1,
+        include_metric=include_metric, interpret=interpret,
+        _loop_form=True)
+    return solver1
+
+
+# NOTE: build_unstructured_solver grows a private `_loop_form` switch
+# rather than duplicating the kernel: when set, it returns
+# (prepare, step1, finish) operating on plan-layout carries.

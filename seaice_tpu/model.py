@@ -24,6 +24,7 @@ from . import constants as c
 from .config import AdvectionType, Config
 from .mesh.core import Mesh, MeshTensors
 from .dynamics import evp
+from .column.tuning import Tunables as _Tunables
 from .dynamics.evp import (DynamicsForcing, DynamicsTensors,
                            VelocitySolverState, build_dynamics_tensors,
                            init_velocity_state, zero_forcing)
@@ -51,6 +52,16 @@ class ModelTensors:
     remap: Optional[RemapTensors]
     upwind: Optional[Any]
     area_cell: Any
+
+
+
+
+def _col_tunables(col) -> "_Tunables":
+    """Build the column physics Tunables from the flat ColumnConfig
+    fields (the namelist maps Registry options onto these)."""
+    import dataclasses as _dc
+    return _Tunables(**{f.name: getattr(col, f.name)
+                        for f in _dc.fields(_Tunables)})
 
 
 class SeaIceModel:
@@ -83,6 +94,10 @@ class SeaIceModel:
                                       col.use_biogeochemistry or
                                       col.solve_zsalinity),
                     n_bio_tracers=n_bio,
+                    n_bio_grid_points=(col.n_bio_layers + 1
+                                       if col.use_biogeochemistry
+                                       else 0),
+                    use_skeletal_bgc=col.use_skeletal_biochemistry,
                     n_vertical_salinity=(col.n_bio_layers if
                                          col.solve_zsalinity else 0))
             else:
@@ -148,9 +163,11 @@ class SeaIceModel:
                     R_snw=col.r_snw, dT_mlt=col.dt_mlt,
                     rsnw_mlt=col.rsnw_mlt),
                 zbgc_params=col.zbgc_params,
+                tunables=_col_tunables(col),
                 use_snicar=col.use_snicar,
                 use_brine_height=col.use_brine_height,
                 use_biogeochemistry=col.use_biogeochemistry,
+                use_skeletal_bgc=col.use_skeletal_biochemistry,
                 n_algae=col.n_algae,
                 n_bio_layers=col.n_bio_layers,
                 solve_zsalinity=col.solve_zsalinity)
@@ -178,6 +195,11 @@ class SeaIceModel:
                 tr["snowGrainRadius"].shape, RSNW_FALL, dt)
         if "brineHeight" in tr:
             tr["brineHeight"] = jnp.ones((nc, ncat), dt)
+        if "bioMobileFraction" in tr:
+            # zbgc_frac_init = 1: all-mobile initial phase partition
+            # (reference ice_colpkg.F90:1510-1522)
+            tr["bioMobileFraction"] = jnp.ones(
+                tr["bioMobileFraction"].shape, dt)
         if "verticalSalinity" in tr:
             from .column.thermo_shared import salinity_profile
             prof = salinity_profile(tr["verticalSalinity"].shape[-1])

@@ -438,8 +438,9 @@ _un("biogeochemistry", "use_modal_aerosols", False,
     "aerosols live in column/aerosol.py")
 _un("biogeochemistry", "use_zaerosols", False,
     "see config_use_modal_aerosols")
-_un("biogeochemistry", "skeletal_bgc_flux_type", "Jin2006",
-    "see config_use_skeletal_biochemistry")
+_opt("biogeochemistry", "skeletal_bgc_flux_type", "Jin2006",
+     "special.skl_flux_type",
+     _enum({"Jin2006": "Jin2006"}, "config_skeletal_bgc_flux_type"))
 _un("biogeochemistry", "scale_initial_vertical_bgc", False,
     "initial bio profiles are set explicitly (testcases/ic.py)")
 for nm, dv in [("biogrid_bottom_molecular_sublayer", 0.006),
@@ -494,8 +495,6 @@ for nm, dv in [("ratio_Fe_to_DON", 0.023),
                ("ratio_Fe_to_DOC_lipids", 0.033),
                ("ratio_Fe_to_dust", 0.035),
                ("solubility_of_Fe_in_dust", 0.005),
-               ("rapid_mobile_to_stationary_time", 3600.0),
-               ("long_mobile_to_stationary_time", 604800.0),
                ("fraction_spilled_to_DON", 0.6),
                ("fraction_exudation_to_saccharids", 1.0),
                ("fraction_exudation_to_lipids", 1.0)]:
@@ -512,10 +511,12 @@ _MOBILITY = [("diatoms", 0.0), ("small_plankton", 0.0),
              ("dust1", 0.0), ("dust2", 0.0), ("dust3", 0.0),
              ("dust4", 0.0)]
 for nm, dv in _MOBILITY:
-    _un("biogeochemistry", f"mobility_type_{nm}", dv,
-        "per-tracer mobile/stationary phase partitioning is not "
-        "implemented; all bio tracers advect with the brine "
-        "(column/zbgc.py:41)")
+    _opt("biogeochemistry", f"mobility_type_{nm}", dv,
+         f"zbgc.mobility_type_{nm}", float)
+_opt("biogeochemistry", "rapid_mobile_to_stationary_time", 3600.0,
+     "zbgc.rapid_mobile_to_stationary_time", float)
+_opt("biogeochemistry", "long_mobile_to_stationary_time", 604800.0,
+     "zbgc.long_mobile_to_stationary_time", float)
 for nm, dv, tgt in [
         ("respiration_fraction_of_growth", 0.05, "fr_resp"),
         ("maximum_brine_temperature", 0.0, "T_max"),
@@ -569,9 +570,8 @@ _opt("shortwave", "temp_change_snow_grain_radius_change", 1.5,
      "column.dt_mlt", float)
 _opt("shortwave", "max_melting_snow_grain_radius", 1500.0,
      "column.rsnw_mlt", float)
-_un("shortwave", "algae_absorption_coefficient", 0.6,
-    "the dEdd bottom-algae band uses the reference kalg default "
-    "internally (column/dedd.py); not yet a tunable")
+_opt("shortwave", "algae_absorption_coefficient", 0.6,
+     "column.algae_absorption_coefficient", float)
 
 # --- snow ----------------------------------------------------------------------------
 _opt("snow", "snow_redistribution_scheme", "none", "column.snwredist",
@@ -583,16 +583,13 @@ for nm, dv in [("fallen_snow_radius", 54.4),
                ("minimum_wind_compaction", 10.0),
                ("wind_compaction_factor", 27.3),
                ("max_dry_snow_radius", 2800.0)]:
-    _un("snow", nm, dv,
-        "fixed internally in column/snow.py at the reference defaults; "
-        "not yet a tunable")
+    _opt("snow", nm, dv, "column." + nm, float)
 _un("snow", "use_snow_liquid_ponds", False,
     "snow liquid water routing to ponds is not implemented")
 
 # --- meltponds ---------------------------------------------------------------------------
-_un("meltponds", "snow_to_ice_transition_depth", 0.0,
-    "the dEdd hs0 snow-patchiness depth is fixed at the reference "
-    "default 0 (column/dedd.py shortwave_dedd hs0)")
+_opt("meltponds", "snow_to_ice_transition_depth", 0.0,
+     "column.snow_to_ice_transition_depth", float)
 _opt("meltponds", "pond_refreezing_type", "hlid", "column.frzpnd",
      _enum({"hlid": "hlid", "cesm": "cesm"},
            "config_pond_refreezing_type"))
@@ -604,9 +601,8 @@ _opt("meltponds", "max_meltwater_retained_fraction", 1.0,
      "column.rfracmax", float)
 _opt("meltponds", "pond_depth_to_fraction_ratio", 0.8, "column.pndaspect",
      float)
-_un("meltponds", "snow_on_pond_ice_tapering_parameter", 0.03,
-    "the lvl-pond snow-on-pond-lid taper hs1 is fixed internally "
-    "(column/ponds.py) at the reference default")
+_opt("meltponds", "snow_on_pond_ice_tapering_parameter", 0.03,
+     "column.snow_on_pond_ice_tapering_parameter", float)
 _opt("meltponds", "critical_pond_ice_thickness", 0.01,
      "column.hi_min_pond", float)
 
@@ -618,15 +614,18 @@ _opt("thermodynamics", "heat_conductivity_type", "bubbly",
      "special.conduct",
      _enum({"bubbly": "bubbly", "MU71": "MU71"},
            "config_heat_conductivity_type"))
-for nm, dv in [("rapid_mode_channel_radius", 0.5e-3),
-               ("rapid_model_critical_Ra", 10.0),
-               ("rapid_mode_aspect_ratio", 1.0),
-               ("slow_mode_drainage_strength", -5.0e-8),
-               ("slow_mode_critical_porosity", 0.05),
-               ("congelation_ice_porosity", 0.85)]:
-    _un("thermodynamics", nm, dv,
-        "fixed internally in column/mushy_solver.py at the reference "
-        "defaults; not yet a tunable")
+for nm, dv, tgt in [
+        ("rapid_mode_channel_radius", 0.5e-3,
+         "rapid_mode_channel_radius"),
+        ("rapid_model_critical_Ra", 10.0, "rapid_mode_critical_ra"),
+        ("rapid_mode_aspect_ratio", 1.0, "rapid_mode_aspect_ratio"),
+        ("slow_mode_drainage_strength", -5.0e-8,
+         "slow_mode_drainage_strength"),
+        ("slow_mode_critical_porosity", 0.05,
+         "slow_mode_critical_porosity"),
+        ("congelation_ice_porosity", 0.85,
+         "congelation_ice_porosity")]:
+    _opt("thermodynamics", nm, dv, "column." + tgt, float)
 
 # --- itd ---------------------------------------------------------------------------------
 _opt("itd", "itd_conversion_type", "linear remap", "column.kitd",
@@ -650,9 +649,8 @@ _opt("ridging", "ridging_redistribution_function", "exponential",
      _enum({"Hibler80": 0, "exponential": 1},
            "config_ridging_redistribution_function"))
 _opt("ridging", "ridiging_efolding_scale", 3.0, "column.mu_rdg", float)
-_un("ridging", "ratio_ridging_work_to_PE", 17.0,
-    "Cf is fixed internally in column/ridging.py at the reference "
-    "default 17; not yet a tunable")
+_opt("ridging", "ratio_ridging_work_to_PE", 17.0,
+     "column.ratio_ridging_work_to_pe", float)
 
 # --- atmosphere ---------------------------------------------------------------------------
 _opt("atmosphere", "atmos_boundary_method", "ccsm3", "column.atmbndy",
@@ -669,9 +667,8 @@ _opt("atmosphere", "boundary_layer_iteration_number", 4, "column.natmiter",
 
 # --- ocean ----------------------------------------------------------------------------------
 _opt("ocean", "use_ocean_mixed_layer", True, "setup.use_ocean_mixed_layer")
-_un("ocean", "min_friction_velocity", 0.0005,
-    "ustar_min is fixed internally (column/driver.py ocean heat flux) "
-    "at the reference default")
+_opt("ocean", "min_friction_velocity", 0.0005,
+     "column.min_friction_velocity", float)
 _opt("ocean", "ocean_heat_transfer_type", "constant",
      "special.ocean_heat_transfer",
      _enum({"constant": "constant"}, "config_ocean_heat_transfer_type"))

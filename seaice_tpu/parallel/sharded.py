@@ -50,6 +50,9 @@ class HaloMaps:
     vertex_halo_color: Any        # [nVertexHalo] ppermute round index
     cell_halo_color: Any          # [nCellHalo]
     overlap: Optional[Any] = None  # evp.SubcycleOverlap (stacked) or None
+    # plan-coordinate vertex halo lists (fused unstructured path)
+    vertex_export_idx_plan: Optional[Any] = None
+    vertex_halo_pos_plan: Optional[Any] = None
 
 
 def _gather_halo(buf, src_shard, src_idx):
@@ -169,10 +172,27 @@ class ShardedSeaIceModel:
             devices = np.array(jax.devices()[:n_shards])
         self.jax_mesh = JaxMesh(devices, (AXIS,))
 
+        # fused unstructured sharded path (one Pallas kernel launch
+        # per subcycle, halo exchange interleaved): engage on explicit
+        # request or automatically for f32 on TPU
+        want_u = v.use_fused_unstructured
+        self.use_fused_unstructured = (
+            v.use_velocity_solver
+            and v.strain_scheme == StrainScheme.VARIATIONAL
+            and v.constitutive_relation == ConstitutiveRelation.EVP
+            and not v.average_variational_strains
+            and v.use_ocean_stress
+            and (want_u is True
+                 or (want_u is None
+                     and jax.default_backend() == "tpu"
+                     and dtype == jnp.float32)))
+
         # per-block single-device models (share config/tracer tree)
         self.models = [SeaIceModel(b.mesh, cfg, dtype,
                                    build_unstructured=False)
                        for b in self.part.blocks]
+        if self.use_fused_unstructured:
+            self._attach_block_plans(dtype)
         self.tree = self.models[0].tree
         self.column = self.models[0].column
         self.tensors = jax.tree.map(
@@ -235,8 +255,14 @@ class ShardedSeaIceModel:
             overlap_stacked = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *ovs)
 
+        plan_exp = plan_pos = None
+        if self.use_fused_unstructured:
+            plan_exp = stack(self._plan_vertex_export)
+            plan_pos = stack(self._plan_vertex_halo_pos)
         self.halo = HaloMaps(
             overlap=overlap_stacked,
+            vertex_export_idx_plan=plan_exp,
+            vertex_halo_pos_plan=plan_pos,
             vertex_halo_color=stack(v_col),
             cell_halo_color=stack(c_col),
             vertex_export_idx=stack(
@@ -309,6 +335,67 @@ class ShardedSeaIceModel:
 
     # -- step ----------------------------------------------------------------
 
+    def _attach_block_plans(self, dtype):
+        """Build each block's UnstructuredPlan (gather_plan.py) and
+        pad them to common (kmax, kvmax) so the per-block tensors
+        stack on the shard axis; also translate the vertex halo
+        export/import index lists into plan coordinates so the
+        per-subcycle exchange can run on the plan-layout arrays with
+        no per-subcycle reordering."""
+        from ..dynamics.gather_plan import (PlanMeta,
+                                            build_unstructured_plan)
+        from ..ops.basis import compute_variational_basis
+        from ..utils.pytree import replace as pt_replace
+
+        cfgv = self.cfg.velocity
+        plans = []
+        for s, b in enumerate(self.part.blocks):
+            vb = compute_variational_basis(
+                b.mesh,
+                basis_type=cfgv.variational_basis.value,
+                integration_type=cfgv.integration_type,
+                integration_order=cfgv.integration_order,
+                denominator_type=cfgv.variational_denominator.value,
+                include_metric_terms=cfgv.include_metric_terms,
+                rotate_cartesian_grid=cfgv.rotate_cartesian_grid)
+            plans.append(build_unstructured_plan(b.mesh, vb, dtype))
+
+        kmax = max(p.meta.kmax for p in plans)
+        kvmax = max(p.meta.kvmax for p in plans)
+
+        def padk(a, k):
+            if a.shape[1] == k:
+                return a
+            pad = jnp.broadcast_to(a[:, :1], (a.shape[0],
+                                              k - a.shape[1]))
+            return jnp.concatenate([a, pad], axis=1)
+
+        padded = []
+        for p in plans:
+            mm = p.meta
+            meta = PlanMeta(mm.nc, mm.nv, mm.me, mm.vd, mm.nchunk,
+                            mm.ngc, mm.ngv, kmax, kvmax, mm.r_v)
+            padded.append(pt_replace(
+                p, wrow=padk(p.wrow, kmax),
+                vprow=padk(p.vprow, kvmax), meta=meta))
+        for m_, p in zip(self.models, padded):
+            m_.tensors = pt_replace(
+                m_.tensors,
+                dynamics=pt_replace(m_.tensors.dynamics,
+                                    unstructured=p))
+
+        # halo index lists in plan coordinates
+        n_v_own = self.part.blocks[0].n_vertices_owned
+        self._plan_vertex_export = []
+        self._plan_vertex_halo_pos = []
+        for p, b in zip(padded, self.part.blocks):
+            vinv = np.asarray(p.vertex_inv)
+            exp = np.asarray(b.vertex_export_idx)
+            self._plan_vertex_export.append(vinv[exp])
+            n_halo = b.vertex_global.shape[0] - n_v_own
+            self._plan_vertex_halo_pos.append(
+                vinv[n_v_own + np.arange(n_halo)])
+
     def make_step(self, jit: bool = True):
         cfg = self.cfg
         tree = self.tree
@@ -371,6 +458,30 @@ class ShardedSeaIceModel:
 
             exchange_vertex_field = ex_vertex
 
+            plan_halo_exchange = None
+            if self.use_fused_unstructured and \
+                    halo.vertex_export_idx_plan is not None:
+                def plan_halo_exchange(u_pl, v_pl):
+                    """Per-subcycle vertex halo refresh directly on
+                    the plan-layout planes: gather exports at plan
+                    positions, run the usual collective, scatter into
+                    the halo vertices' plan positions."""
+                    shp = u_pl.shape
+                    flat = jnp.stack([u_pl.reshape(-1),
+                                      v_pl.reshape(-1)], axis=-1)
+                    buf = flat[halo.vertex_export_idx_plan]
+                    if self.halo_mode == "ring":
+                        hv = _perm_halo(buf, halo.vertex_halo_src_idx,
+                                        halo.vertex_halo_color,
+                                        self.halo_perms)
+                    else:
+                        hv = _gather_halo(buf,
+                                          halo.vertex_halo_src_shard,
+                                          halo.vertex_halo_src_idx)
+                    flat = flat.at[halo.vertex_halo_pos_plan].set(hv)
+                    return (flat[..., 0].reshape(shp),
+                            flat[..., 1].reshape(shp))
+
             halo_overlap = None
             if self.overlap_enabled and halo.overlap is not None:
                 if self.halo_mode == "ring":
@@ -384,13 +495,22 @@ class ShardedSeaIceModel:
                             buf, halo.vertex_halo_src_shard,
                             halo.vertex_halo_src_idx)
                 halo_overlap = (halo.overlap, exchange_from_buf, n_v_own)
+            if plan_halo_exchange is not None:
+                # the fused per-subcycle kernel supersedes the
+                # interior/boundary overlap split
+                halo_overlap = None
 
             vel_step = evp.make_velocity_solver(
                 cfg, halo_exchange_vertex=exchange_vertex_uv,
                 halo_exchange_cell_field=exchange_cell,
                 halo_exchange_vertex_field=exchange_vertex_field,
                 min_dv_edge=self.part.min_dv_edge,
-                halo_overlap=halo_overlap)
+                halo_overlap=halo_overlap,
+                use_pallas=plan_halo_exchange is not None,
+                unstructured_plan=(tensors.dynamics.unstructured
+                                   if plan_halo_exchange is not None
+                                   else None),
+                plan_halo_exchange=plan_halo_exchange)
 
             tr = dict(state.tracers)
             vel = state.velocity

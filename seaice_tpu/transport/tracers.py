@@ -94,6 +94,8 @@ def standard_tracer_tree(n_ice_layers: int = 7, n_snow_layers: int = 1,
                          n_aerosols: int = 0,
                          use_brine_height: bool = False,
                          n_bio_tracers: int = 0,
+                         n_bio_grid_points: int = 0,
+                         use_skeletal_bgc: bool = False,
                          n_vertical_salinity: int = 0,
                          enthalpy: bool = True,
                          use_ponds: bool = False,
@@ -173,6 +175,17 @@ def standard_tracer_tree(n_ice_layers: int = 7, n_snow_layers: int = 1,
         # (reference ..._tracers.F bio tracer block)
         specs.append(TracerSpec("bioTracers", "iceVolumeCategory",
                                 n_layers=n_bio_tracers))
+        if n_bio_grid_points:
+            # per-tracer mobile fraction (reference zbgc_frac tracer,
+            # ice_zbgc_shared.F90:69)
+            specs.append(TracerSpec(
+                "bioMobileFraction", "iceVolumeCategory",
+                n_layers=n_bio_tracers // n_bio_grid_points))
+    if use_skeletal_bgc:
+        # skeletal-layer BGC pools: algal N, NO3, SiO3 (reference
+        # ice_algae.F90 skl mode)
+        specs.append(TracerSpec("sklBgc", "iceAreaCategory",
+                                n_layers=3))
     if n_vertical_salinity:
         specs.append(TracerSpec("verticalSalinity",
                                 "iceVolumeCategory",

@@ -494,3 +494,121 @@ class TestZsalConservation:
         ft = np.asarray(zs.fzsal)
         assert (fg <= 0.0).all()
         assert (np.abs(fg) <= np.abs(ft) + 1e-12).all()
+
+
+class TestSkeletalAndMobility:
+    def _run_model(self, colcfg_kwargs, steps=2):
+        from seaice_tpu.config import (AdvectionConfig, ColumnConfig,
+                                       Config, RunConfig,
+                                       VelocitySolverConfig)
+        from seaice_tpu.parallel.sharded import full_physics_inputs
+        from seaice_tpu.model import SeaIceModel
+        from seaice_tpu.testcases import box
+        from seaice_tpu.utils.pytree import replace
+
+        cfg = Config(
+            run=RunConfig(dt=1800.0, n_categories=2, n_ice_layers=4),
+            velocity=VelocitySolverConfig(
+                elastic_subcycle_number=2, rotate_cartesian_grid=False,
+                include_metric_terms=False,
+                geostrophic_surface_tilt=False),
+            advection=AdvectionConfig(),
+            column=ColumnConfig(ktherm=2, n_bio_layers=4,
+                                **colcfg_kwargs))
+        mesh = box.box_test_mesh(5, 5)
+        mesh.f_vertex = box.box_coriolis_parameter(mesh)
+        model = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+        (area, vol, snow, extra, atm, ocn,
+         coszen) = full_physics_inputs(mesh, cfg, jnp.float64)
+        state = model.init_state(area, vol, snow)
+        tr = dict(state.tracers)
+        tr.update({k: jnp.asarray(v) for k, v in extra.items()})
+        state = replace(state, tracers=tr)
+        forcing = box.box_forcing(mesh, t=0.0)
+        atm_j = jax.tree.map(jnp.asarray, atm)
+        ocn_j = jax.tree.map(jnp.asarray, ocn)
+        step = model.make_step()
+        diags = None
+        for _ in range(steps):
+            state, diags = step(model.tensors, state, forcing, atm_j,
+                                ocn_j, coszen=jnp.asarray(coszen))
+        return model, state, diags
+
+    def test_skeletal_bgc_reachable_from_model_step(self):
+        """config_use_skeletal_biochemistry dispatches the skeletal
+        scheme (reference ice_algae.F90 skl mode): the sklBgc pools
+        exist, evolve, and stay finite/nonnegative."""
+        model, state, diags = self._run_model(
+            dict(use_skeletal_biochemistry=True))
+        assert "sklBgc" in model.tree.names
+        s = np.asarray(state.tracers["sklBgc"])
+        a = np.asarray(state.tracers["iceAreaCategory"])
+        assert np.isfinite(s).all()
+        assert s.min() >= 0.0
+        # icy cells carry a live skeletal population
+        assert (s[..., 0][a > 1e-6] > 0.0).all()
+        bgc = diags["column_fluxes"].bgc
+        assert "skl_pp" in bgc and "skl_chla" in bgc
+
+    def test_skl_and_z_bgc_mutually_exclusive(self):
+        from seaice_tpu.column.driver import ColumnPhysics
+        with pytest.raises(ValueError):
+            ColumnPhysics(2, 4, use_biogeochemistry=True,
+                          use_skeletal_bgc=True)
+
+    def test_mobile_fraction_partitions_and_conserves(self):
+        """The zbgc_frac analog: with partitioning engaged the mobile
+        fraction drops below 1 under retention, nitrogen closure still
+        holds, and changing a mobility type changes the answer."""
+        import dataclasses as dc
+        from seaice_tpu.column.zbgc import (ZbgcParams,
+                                            zbgc_transport_react)
+        p = ZbgcParams(n_algae=1)
+        rng = np.random.default_rng(0)
+        B, K = 6, 5
+        nb = p.n_bio
+        C = jnp.asarray(rng.uniform(0.5, 4.0, (B, nb, K)))
+        iphin = jnp.full((B, K), 0.3)
+        iDin = jnp.full((B, K), 1.0e-9)
+        darcy = jnp.zeros((B,))
+        hbr = jnp.full((B,), 1.0)
+        hbr_old = jnp.full((B,), 0.98)     # growing -> retention
+        dh_bot = jnp.full((B,), 0.02)
+        fsw = jnp.full((B,), 5.0)
+        Tbot = jnp.full((B,), -1.8)
+        ocean = p.ocean_concentrations(jnp.float64)
+        frac = jnp.ones((B, nb))
+
+        r = zbgc_transport_react(1800.0, C, iphin, iDin, darcy, hbr,
+                                 hbr_old, dh_bot, fsw, Tbot, ocean, p,
+                                 frac=frac)
+        assert r.frac_new is not None
+        f = np.asarray(r.frac_new)
+        assert np.isfinite(f).all() and (f >= 0).all() and (f <= 1).all()
+        types = p.tracer_types()
+        # retained tracers (type >= 0) lose mobile share; purely
+        # mobile tracers (type < 0, e.g. nitrate) stay fully mobile
+        assert (f[:, types >= 0] < 1.0).all()
+        assert np.allclose(f[:, types < 0], 1.0)
+
+        # a different mobility type changes the evolution
+        p2 = dc.replace(p, mobility_type_ammonium=2.0)
+        r2 = zbgc_transport_react(1800.0, C, iphin, iDin, darcy, hbr,
+                                  hbr_old, dh_bot, fsw, Tbot, ocean,
+                                  p2, frac=frac)
+        ix = p.index()["Am"].start
+        assert not np.allclose(np.asarray(r2.frac_new)[:, ix],
+                               f[:, ix])
+
+    def test_mobility_partitioning_in_model(self):
+        """bioMobileFraction tracer exists, initializes to 1, and
+        departs from 1 through the model step."""
+        model, state, _ = self._run_model(
+            dict(use_biogeochemistry=True))
+        assert "bioMobileFraction" in model.tree.names
+        f = np.asarray(state.tracers["bioMobileFraction"])
+        a = np.asarray(state.tracers["iceAreaCategory"])
+        assert np.isfinite(f).all()
+        assert (f >= 0).all() and (f <= 1.0 + 1e-12).all()
+        # retention moved some mass to the stationary phase somewhere
+        assert (f[a > 1e-6] < 1.0).any()

@@ -168,3 +168,43 @@ def test_fused_unstructured_via_model_flag():
     b = np.asarray(outs["fused"].velocity.u_velocity)
     s = max(np.abs(a).max(), 1e-12)
     np.testing.assert_allclose(b, a, atol=1e-11 * s)
+
+
+def test_sharded_fused_matches_single_device():
+    """The SHARDED fused path (one kernel launch per subcycle, vertex
+    halo exchange in plan coordinates between launches) reproduces the
+    single-device trajectory on the virtual device mesh."""
+    from seaice_tpu.model import SeaIceModel
+    from seaice_tpu.parallel import ShardedSeaIceModel
+    from seaice_tpu.testcases import box
+    from seaice_tpu.config import box_test_config
+
+    cfg = box_test_config(elastic_subcycles=4)
+    cfg = dataclasses.replace(cfg, velocity=dataclasses.replace(
+        cfg.velocity, use_fused_unstructured=True,
+        use_pallas_subcycle=False))
+    mesh = box.box_test_mesh(12, 12)
+    mesh.f_vertex = box.box_coriolis_parameter(mesh)
+    area, vol, snow = box.box_initial_state(mesh, n_categories=1)
+
+    # single-device reference: the plain XLA path (the raster mesh
+    # keeps the single-device fused-unstructured plan out of scope)
+    ref = SeaIceModel(mesh, cfg, dtype=jnp.float64)
+    rstate = ref.init_state(area, vol, snow)
+    rstep = ref.make_step()
+    forcing = box.box_forcing(mesh, t=0.0)
+    rout, _ = rstep(ref.tensors, rstate, forcing)
+
+    sm = ShardedSeaIceModel(mesh, cfg, 4, dtype=jnp.float64)
+    assert sm.use_fused_unstructured
+    assert sm.tensors.dynamics.unstructured is not None
+    sstate = sm.init_state(area, vol, snow)
+    sforcing = sm.scatter_forcing(lambda m: box.box_forcing(m, t=0.0))
+    sstep = sm.make_step()
+    sout, _ = sstep(sm.tensors, sm.halo, sstate, sforcing)
+
+    u_s, v_s = sm.gather_velocity(sout)
+    u_r = np.asarray(rout.velocity.u_velocity)
+    np.testing.assert_allclose(u_s, u_r, atol=1e-12, rtol=1e-9)
+    v_r = np.asarray(rout.velocity.v_velocity)
+    np.testing.assert_allclose(v_s, v_r, atol=1e-12, rtol=1e-9)
