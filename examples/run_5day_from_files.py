@@ -102,6 +102,9 @@ def main():
     ap.add_argument("--verify-restart", action="store_true",
                     help="rerun the second half from the mid-run "
                     "restart file and require bitwise equality")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="force the XLA gather velocity path (disable "
+                    "the fused unstructured Pallas solver)")
     args = ap.parse_args()
 
     import jax
@@ -156,7 +159,8 @@ def main():
         velocity=VelocitySolverConfig(
             elastic_subcycle_number=args.subcycles,
             rotate_cartesian_grid=True, include_metric_terms=True,
-            geostrophic_surface_tilt=False),
+            geostrophic_surface_tilt=False,
+            use_fused_unstructured=False if args.no_fused else None),
         advection=AdvectionConfig(
             advection_type=AdvectionType.INCREMENTAL_REMAP),
         column=ColumnConfig())

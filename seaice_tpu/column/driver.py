@@ -182,9 +182,16 @@ class ColumnPhysics:
                  solve_zsalinity: bool = False,
                  zbgc_params=None,
                  shortwave_tuning: Optional[Dict[str, float]] = None,
-                 tunables=None):
+                 tunables=None,
+                 calc_tsfc: bool = True):
         if ktherm not in (0, 1, 2):
             raise ValueError(f"unsupported ktherm={ktherm}")
+        if not calc_tsfc and ktherm == 2:
+            raise ValueError(
+                "config_calc_surface_temperature=false is incompatible "
+                "with mushy thermodynamics (reference "
+                "check_column_package_configs, "
+                "mpas_seaice_column.F:9259-9263)")
         if kstrength not in (0, 1):
             raise ValueError(f"unsupported kstrength={kstrength}")
         if pond_scheme not in ("none", "cesm", "lvl", "topo"):
@@ -238,6 +245,7 @@ class ColumnPhysics:
         self.shortwave_tuning = dict(shortwave_tuning or {})
         from .tuning import DEFAULT as _TUN_DEFAULT
         self.tun = tunables if tunables is not None else _TUN_DEFAULT
+        self.calc_tsfc = calc_tsfc
         self.use_brine_height = use_brine_height or use_biogeochemistry \
             or solve_zsalinity
         self.use_biogeochemistry = use_biogeochemistry
@@ -350,14 +358,26 @@ class ColumnPhysics:
                             atm: AtmosForcing, ocn: OceanForcing,
                             strocnx=None, strocny=None, coszen=None,
                             uvel=None, vvel=None, day_of_year=None,
-                            lat=None, faero_atm=None):
+                            lat=None, faero_atm=None,
+                            sfc_fluxes=None):
         """Vertical + ITD thermodynamics for one coupling step.
 
         coszen: cosine solar zenith (cell field) for the dEdd shortwave
         (compute with column.orbital.compute_coszen).  uvel/vvel: cell
         ice velocity (highfreq coupling).  day_of_year/lat: for the
         first-year-ice tracer reset.  faero_atm [*B, nAero]: aerosol
-        deposition.  Returns (new tracers, ColumnFluxes)."""
+        deposition.  sfc_fluxes: calc_Tsfc=False prescribed surface
+        fluxes from the atmosphere model — dict with 'fsurf',
+        'fcondtop', 'flat', 'fsens' [*B, nCat] (Registry
+        surfaceHeatFluxCouple / surfaceConductiveFluxCouple /
+        latentHeatFluxCouple / sensibleHeatFluxCouple,
+        Registry.xml:3657-3660).  Returns (new tracers, ColumnFluxes)."""
+        if not self.calc_tsfc and sfc_fluxes is None:
+            raise ValueError(
+                "calc_tsfc=False requires sfc_fluxes (the coupler's "
+                "per-category surface flux fields)")
+        if self.calc_tsfc:
+            sfc_fluxes = None
         aicen, vicen, vsnon, at, it_, st = _split_tracers(tracers)
         tsfc = at["surfaceTemperature"]
         qin = it_["iceEnthalpy"]
@@ -491,7 +511,8 @@ class ColumnPhysics:
                 sss=pc(ocn.sss) if ktherm == 2 else None,
                 frain=pc(atm.rain_rate),
                 apond=apond_cat, hpond=hpnd, tun=self.tun,
-                smice=smice, smliq=smliq, rsnw=rsnw)
+                smice=smice, smliq=smliq, rsnw=rsnw,
+                prescribed_sfc_fluxes=sfc_fluxes)
         else:
             # package off: therm1 skipped, state passes through
             from .vertical import thermo_vertical_noop

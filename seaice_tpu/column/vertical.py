@@ -516,7 +516,8 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
                     shcoef, lhcoef, *, ktherm: int = 1, sss=None,
                     frain=None, apond=None, hpond=None,
                     smice=None, smliq=None,
-                    rsnw=None, tun=None) -> ThermoVerticalResult:
+                    rsnw=None, tun=None,
+                    prescribed_sfc_fluxes=None) -> ThermoVerticalResult:
     """Per-category vertical thermodynamics driver (reference
     thermo_vertical, ice_therm_vertical.F90:53-471) with the ktherm
     dispatch of the reference (:286-335).
@@ -529,11 +530,25 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
     category area + depth, for flushing; optional), and the updated
     zSin/hpond are returned.  smice/smliq/rsnw: optional snow mass /
     grain-radius tracers, updated through the melt/regrid bookkeeping.
+
+    prescribed_sfc_fluxes: calc_Tsfc=False coupled mode — a dict with
+    'fsurf', 'fcondtop', 'flat', 'fsens' per-category fluxes from the
+    atmosphere model (reference set_sfcflux,
+    ice_flux_colpkg.F90:174-288, dispatched at
+    ice_colpkg.F90:2196-2207).  The surface temperature is not
+    re-solved; the thermo uses the know_Tsfc boundary condition.
+    Unsupported for ktherm=2 (the reference hard-errors too,
+    mpas_seaice_column.F:9259-9263).
     """
     ni = zqin.shape[-1]
     ns = zqsn.shape[-1]
     if ktherm == 2 and sss is None:
         raise ValueError("mushy thermodynamics (ktherm=2) requires sss")
+    if prescribed_sfc_fluxes is not None and ktherm == 2:
+        raise ValueError(
+            "calc_Tsfc=False is incompatible with mushy thermodynamics "
+            "(reference check_column_package_configs, "
+            "mpas_seaice_column.F:9259-9263)")
     has = aicen > c.PUNY
     safe_a = jnp.where(has, aicen, 1.0)
     hin = jnp.where(has, vicen / safe_a, 0.1)
@@ -573,10 +588,22 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
         converged = res.converged
         solver_fluxes = res
     elif ktherm == 0:
-        from .zerolayer import zerolayer_temperature
-        res = zerolayer_temperature(
-            dt, rhoa, flw, potT, Qa, shcoef, lhcoef, fswsfc,
-            hilyr * ni, hslyr * ns, Tsf, Tbot)
+        if prescribed_sfc_fluxes is not None:
+            # know_Tsfc zero-layer: fcondbot = fcondtop (reference
+            # ice_therm_vertical.F90:355-365); all surface fluxes are
+            # the coupler's
+            from .zerolayer import ZeroLayerResult
+            pf = prescribed_sfc_fluxes
+            res = ZeroLayerResult(
+                Tsf=Tsf, fsensn=pf["fsens"], flatn=pf["flat"],
+                flwoutn=jnp.zeros_like(Tsf), fsurfn=pf["fsurf"],
+                fcondtopn=pf["fcondtop"], fcondbot=pf["fcondtop"],
+                converged=jnp.ones(Tsf.shape, bool))
+        else:
+            from .zerolayer import zerolayer_temperature
+            res = zerolayer_temperature(
+                dt, rhoa, flw, potT, Qa, shcoef, lhcoef, fswsfc,
+                hilyr * ni, hslyr * ns, Tsf, Tbot)
         zqin2 = jnp.full_like(zqin, -c.RHOI * c.LFRESH)
         zqsn2 = jnp.full_like(zqsn, -c.RHOS * c.LFRESH)
         zSin2 = zSin
@@ -595,11 +622,17 @@ def thermo_vertical(dt, aicen, vicen, vsnon, Tsf, zqin, zqsn, zSin,
                           jnp.ones_like(zqsn))
         einit = (hilyr[..., None] * zqin).sum(-1) + \
             (hslyr[..., None] * zqsn0).sum(-1)
+        pf = prescribed_sfc_fluxes
         res = temperature_changes(
             dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             fswsfc, fswint, Sswabs, Iswabs,
             hilyr, hslyr, zqin, zTin, zqsn0, zTsn, zSin,
-            Tsf, Tbot, einit)
+            Tsf, Tbot, einit,
+            calc_tsfc=pf is None,
+            fsurfn_f=None if pf is None else pf["fsurf"],
+            fcondtopn_f=None if pf is None else pf["fcondtop"],
+            flatn_f=None if pf is None else pf["flat"],
+            fsensn_f=None if pf is None else pf["fsens"])
         zqin2, zqsn2, zSin2 = res.zqin, res.zqsn, zSin
         converged = res.converged
         solver_fluxes = res

@@ -118,6 +118,11 @@ class ColumnConfig:
     use_skeletal_biochemistry: bool = False
     # scheme selectors (reference ice_colpkg_shared.F90:20-150)
     ktherm: int = 1                 # 0: zero-layer, 1: BL99, 2: mushy
+    # config_calc_surface_temperature (Registry.xml:1723-1727,
+    # icepack_name calc_Tsfc): False = coupled mode where the
+    # atmosphere model prescribes the per-category surface fluxes
+    # (fsurf/fcondtop/flat/fsens) and Tsfc is not re-solved
+    calc_surface_temperature: bool = True
     shortwave: str = "ccsm3"        # 'ccsm3' | 'dEdd'
     use_snicar: bool = False        # 5-band SNICAR snow IOPs (with dEdd)
     kstrength: int = 1              # 0: Hibler79, 1: Rothrock75

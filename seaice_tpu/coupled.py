@@ -126,8 +126,11 @@ class CoupledDriver:
             from .utils.pytree import replace as pt_replace
             hin_max = model.column.hin_max
 
+        calc_tsfc = cfg.column.calc_surface_temperature \
+            if use_col else True
+
         def fn(tensors, state, dyn, atmf, ocnf, sec0, doy0,
-               coverage=None):
+               coverage=None, sfcf=None):
             def body(carry, i):
                 state, acc, stress_acc = carry
                 if prescribed:
@@ -154,7 +157,7 @@ class CoupledDriver:
                     coszen = None
                 state, diags = step_fn(
                     tensors, state, dyn, atmf, ocnf, coszen=coszen,
-                    day_of_year=doy, lat=lat)
+                    day_of_year=doy, lat=lat, sfc_fluxes=sfcf)
                 fl = diags.get("column_fluxes")
                 if fl is not None:
                     warn = getattr(fl, "warnings", None)
@@ -181,7 +184,7 @@ class CoupledDriver:
                     coszen=(compute_coszen(
                         lat, lon, doy0, jnp.mod(sec0, 86400.0))[0]
                         if has_latlon else None),
-                    day_of_year=doy0, lat=lat)
+                    day_of_year=doy0, lat=lat, sfc_fluxes=sfcf)
                 fl0 = probe_diags["column_fluxes"]
                 warn0 = getattr(fl0, "warnings", None)
                 acc0 = (_zero_fluxes_like(
@@ -226,6 +229,10 @@ class CoupledDriver:
             cov = self.prescribed_coverage.interpolate(
                 self.clock.seconds)["iceCoverage"]
             kw["coverage"] = jnp.asarray(cov, d)
+        if model.cfg.column.use_column_package and \
+                not model.cfg.column.calc_surface_temperature:
+            from .coupler import import_sfc_fluxes
+            kw["sfcf"] = import_sfc_fluxes(import_fields, d)
         state, mean_fl, mean_stress, checks = self._advance_fn(
             model.tensors, self.state, dyn, atmf, ocnf,
             jnp.asarray(self.clock.seconds_today, d),

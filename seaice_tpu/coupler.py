@@ -34,6 +34,34 @@ EXPORT_FIELDS = (
     "Faii_evap", "Fioi_melth", "Fioi_swpen", "Fioi_meltw",
     "Fioi_salt", "Fioi_taux", "Fioi_tauy")
 
+# per-category atmosphere-computed surface fluxes, imported only in
+# calc_Tsfc=False coupling (Registry.xml:3657-3660 atmos_coupling pool)
+SFC_FLUX_IMPORT_FIELDS = (
+    "surfaceHeatFluxCouple", "surfaceConductiveFluxCouple",
+    "latentHeatFluxCouple", "sensibleHeatFluxCouple")
+
+
+def import_sfc_fluxes(fields: Dict[str, Any], dtype=jnp.float64):
+    """calc_Tsfc=False imports: the atmosphere model's per-category
+    surface fluxes ([nCells, nCategories] arrays, Registry
+    surfaceHeatFluxCouple / surfaceConductiveFluxCouple /
+    latentHeatFluxCouple / sensibleHeatFluxCouple) -> the column
+    driver's sfc_fluxes dict (set_sfcflux analog,
+    ice_flux_colpkg.F90:174-288)."""
+    missing = [k for k in SFC_FLUX_IMPORT_FIELDS if k not in fields]
+    if missing:
+        raise KeyError(
+            f"calc_Tsfc=False coupling requires import fields "
+            f"{missing} (per-category surface fluxes from the "
+            f"atmosphere model)")
+    return {
+        "fsurf": jnp.asarray(fields["surfaceHeatFluxCouple"], dtype),
+        "fcondtop": jnp.asarray(
+            fields["surfaceConductiveFluxCouple"], dtype),
+        "flat": jnp.asarray(fields["latentHeatFluxCouple"], dtype),
+        "fsens": jnp.asarray(fields["sensibleHeatFluxCouple"], dtype),
+    }
+
 
 def import_state(fields: Dict[str, Any], dt: float, dtype=jnp.float64,
                  tfrz_option: str = "minus1p8",

@@ -124,9 +124,14 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
                 out = []
                 for f in range(F):
                     row = row_fns[f](k)                  # [1, 128]
-                    # take_along_axis broadcasts the single source row
-                    # against the [nsub, 128] index tile
-                    g = jnp.take_along_axis(row, lanes, axis=1)
+                    # the broadcast must be explicit: Mosaic's gather
+                    # lowering only accepts same-shape 2D operand and
+                    # index tiles (an implicit [1,128] -> [nsub,128]
+                    # broadcast folds into the gather and fails to
+                    # lower on real TPU)
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(row, (nsub, LANES)), lanes,
+                        axis=1)
                     out.append(jnp.where(mask, g, carry[f]))
                 return tuple(out)
             init = tuple(jnp.zeros((nsub, LANES), dt)

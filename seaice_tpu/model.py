@@ -170,7 +170,8 @@ class SeaIceModel:
                 use_skeletal_bgc=col.use_skeletal_biochemistry,
                 n_algae=col.n_algae,
                 n_bio_layers=col.n_bio_layers,
-                solve_zsalinity=col.solve_zsalinity)
+                solve_zsalinity=col.solve_zsalinity,
+                calc_tsfc=col.calc_surface_temperature)
 
     # -- state ---------------------------------------------------------------
 
@@ -356,7 +357,7 @@ class SeaIceModel:
                  atmos: Optional[AtmosForcing] = None,
                  ocean: Optional[OceanForcing] = None,
                  coszen=None, day_of_year=None, lat=None,
-                 faero_atm=None):
+                 faero_atm=None, sfc_fluxes=None):
             """One coupling timestep (reference seaice_timestep,
             mpas_seaice_time_integration.F:42-175): column pre-dynamics
             -> (velocity solve -> transport -> ridging) x n_sub ->
@@ -364,7 +365,9 @@ class SeaIceModel:
 
             coszen: cell cosine solar zenith (dEdd shortwave).
             day_of_year/lat: first-year-ice tracer reset inputs.
-            faero_atm [nCells, nAero]: aerosol deposition rate."""
+            faero_atm [nCells, nAero]: aerosol deposition rate.
+            sfc_fluxes: calc_Tsfc=False prescribed per-category surface
+            fluxes (dict: fsurf/fcondtop/flat/fsens [nCells, nCat])."""
             tr = dict(state.tracers)
             vel = state.velocity
             diags = {}
@@ -379,7 +382,7 @@ class SeaIceModel:
                     cfg.run.dt, tr, atmos, ocean, coszen=coszen,
                     uvel=uvel_c, vvel=vvel_c,
                     day_of_year=day_of_year, lat=lat,
-                    faero_atm=faero_atm)
+                    faero_atm=faero_atm, sfc_fluxes=sfc_fluxes)
             for _ in range(n_sub):
                 if cfg.velocity.use_velocity_solver:
                     pressure_in = None

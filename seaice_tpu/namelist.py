@@ -658,8 +658,8 @@ _opt("atmosphere", "atmos_boundary_method", "ccsm3", "column.atmbndy",
            "config_atmos_boundary_method"))
 _un("atmosphere", "calc_surface_stresses", True,
     "surface stresses are always computed on device (free under XLA)")
-_un("atmosphere", "calc_surface_temperature", True,
-    "prescribed-Tsfc (calc_Tsfc=false) coupling is not implemented")
+_opt("atmosphere", "calc_surface_temperature", True,
+     "column.calc_surface_temperature")
 _opt("atmosphere", "use_form_drag", False, "column.use_form_drag")
 _opt("atmosphere", "use_high_frequency_coupling", False, "column.highfreq")
 _opt("atmosphere", "boundary_layer_iteration_number", 4, "column.natmiter",

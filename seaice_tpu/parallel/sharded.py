@@ -418,14 +418,14 @@ class ShardedSeaIceModel:
 
         def shard_body(tensors: ModelTensors, halo: HaloMaps,
                        state: State, forcing, atmos, ocean, coszen,
-                       day_of_year, lat, faero_atm):
+                       day_of_year, lat, faero_atm, sfc_fluxes):
             # inside shard_map: strip the leading (length-1) block axis
             # (day_of_year is replicated — no block axis to strip)
             (tensors, halo, state, forcing, atmos, ocean,
-             coszen, lat, faero_atm) = jax.tree.map(
+             coszen, lat, faero_atm, sfc_fluxes) = jax.tree.map(
                 lambda x: x[0],
                 (tensors, halo, state, forcing, atmos, ocean, coszen,
-                 lat, faero_atm))
+                 lat, faero_atm, sfc_fluxes))
 
             if self.halo_mode == "ring":
                 def ex_vertex(f):
@@ -537,7 +537,7 @@ class ShardedSeaIceModel:
                     cfg.run.dt, tr, atmos, ocean, coszen=coszen,
                     uvel=uvel_c, vvel=vvel_c,
                     day_of_year=day_of_year, lat=lat,
-                    faero_atm=faero_atm)
+                    faero_atm=faero_atm, sfc_fluxes=sfc_fluxes)
             for _ in range(cfg.velocity.dynamics_subcycle_number):
                 if cfg.velocity.use_velocity_solver:
                     pressure_in = None
@@ -579,15 +579,16 @@ class ShardedSeaIceModel:
 
         smapped = jax.shard_map(
             shard_body, mesh=self.jax_mesh,
-            in_specs=(P(AXIS),) * 7 + (P(), P(AXIS), P(AXIS)),
+            in_specs=(P(AXIS),) * 7 + (P(), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=P(AXIS),
             check_vma=False)
 
         def step(tensors, halo, state, forcing, atmos=None, ocean=None,
                  coszen=None, day_of_year=None, lat=None,
-                 faero_atm=None):
+                 faero_atm=None, sfc_fluxes=None):
             return smapped(tensors, halo, state, forcing, atmos, ocean,
-                           coszen, day_of_year, lat, faero_atm)
+                           coszen, day_of_year, lat, faero_atm,
+                           sfc_fluxes)
 
         if jit:
             step = jax.jit(step)

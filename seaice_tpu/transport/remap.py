@@ -819,6 +819,13 @@ def make_remap_step(tree: TracerTree, vertex_degree: int,
 
     def step(rt: RemapTensors, cells_on_cell, cells_on_cell_mask,
              area_cell, state, u_vertex, v_vertex, dt):
+        # the fused kernel's MXU contractions cannot lower at f64 on
+        # real TPU (Mosaic dot_general is f32/bf16); f64 runs (e.g.
+        # driving the TPU backend with x64 for convergence studies)
+        # take the XLA formulation instead
+        engage_pallas = use_pallas_flux and not (
+            u_vertex.dtype == jnp.float64 and
+            jax.default_backend() == "tpu")
         fields = to_transport_fields(tree, state)
         mask_cell, masks = make_masks(tree, fields)
         recon = reconstruct_fields(tree, fields, masks, mask_cell, rt,
@@ -827,7 +834,7 @@ def make_remap_step(tree: TracerTree, vertex_degree: int,
         dpx, dpy = departure_points(u_vertex, v_vertex, dt)
         tris = find_departure_triangles(rt, dpx, dpy, vertex_degree)
         cell, xq, yq, area = triangles_to_cell_coords(rt, tris)
-        if use_pallas_flux:
+        if engage_pallas:
             from .pallas_flux import integrate_fluxes_fused
             fluxes = integrate_fluxes_fused(tree, recon, rt,
                                             tris["cell_slot"], xq,
