@@ -105,6 +105,9 @@ def main():
     ap.add_argument("--no-fused", action="store_true",
                     help="force the XLA gather velocity path (disable "
                     "the fused unstructured Pallas solver)")
+    ap.add_argument("--no-pallas-flux", action="store_true",
+                    help="force the XLA IR flux integration (disable "
+                    "the fused Pallas flux kernel)")
     args = ap.parse_args()
 
     import jax
@@ -162,7 +165,8 @@ def main():
             geostrophic_surface_tilt=False,
             use_fused_unstructured=False if args.no_fused else None),
         advection=AdvectionConfig(
-            advection_type=AdvectionType.INCREMENTAL_REMAP),
+            advection_type=AdvectionType.INCREMENTAL_REMAP,
+            use_pallas_flux=False if args.no_pallas_flux else None),
         column=ColumnConfig())
     setup = RunSetup(initial_condition_type="cice_default",
                      initial_latitude_north=65.0,

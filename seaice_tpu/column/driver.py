@@ -183,7 +183,9 @@ class ColumnPhysics:
                  zbgc_params=None,
                  shortwave_tuning: Optional[Dict[str, float]] = None,
                  tunables=None,
-                 calc_tsfc: bool = True):
+                 calc_tsfc: bool = True,
+                 use_snow_liquid_ponds: bool = False,
+                 include_pond_freshwater_feedback: bool = False):
         if ktherm not in (0, 1, 2):
             raise ValueError(f"unsupported ktherm={ktherm}")
         if not calc_tsfc and ktherm == 2:
@@ -246,6 +248,15 @@ class ColumnPhysics:
         from .tuning import DEFAULT as _TUN_DEFAULT
         self.tun = tunables if tunables is not None else _TUN_DEFAULT
         self.calc_tsfc = calc_tsfc
+        if use_snow_liquid_ponds and not use_snow_tracers:
+            raise ValueError(
+                "config_use_snow_liquid_ponds requires the snow "
+                "mass/liquid tracers (config_use_effective_snow_"
+                "density; reference config check, "
+                "mpas_seaice_column.F:1915-1925)")
+        self.use_snow_liquid_ponds = use_snow_liquid_ponds
+        self.include_pond_freshwater_feedback = \
+            include_pond_freshwater_feedback
         self.use_brine_height = use_brine_height or use_biogeochemistry \
             or solve_zsalinity
         self.use_biogeochemistry = use_biogeochemistry
@@ -568,8 +579,12 @@ class ColumnPhysics:
             st2["snowLiquidMass"] = smliq_d
             meltsliq = meltsliq + meltsliq_d
 
-        # melt ponds (reference :2292-2352, per-category part)
+        # melt ponds (reference :2292-2352, per-category part);
+        # use_smliq_pnd (config_use_snow_liquid_ponds) routes the
+        # drained snow-liquid mass into the ponds instead of snow melt
+        # + rain (ice_colpkg.F90:2278-2334)
         fpond = jnp.zeros_like(aice)
+        pond_smliq = meltsliq if self.use_snow_liquid_ponds else None
         if self.pond_scheme != "none" and apnd is not None:
             rfrac = self.rfracmin + \
                 (self.rfracmax - self.rfracmin) * aicen2
@@ -579,7 +594,7 @@ class ColumnPhysics:
                     dt, rfrac, tv.meltt, tv.melts, pc(atm.rain_rate),
                     aicen2, vicen2, vsnon2, at2["surfaceTemperature"],
                     at2["pondArea"], at2["pondDepth"],
-                    pndaspect=self.pndaspect)
+                    pndaspect=self.pndaspect, meltsliq=pond_smliq)
                 at2["pondArea"], at2["pondDepth"] = apnd_n, hpnd_n
             elif self.pond_scheme == "lvl":
                 from .ponds import compute_ponds_lvl
@@ -594,14 +609,18 @@ class ColumnPhysics:
                             jnp.zeros_like(aicen2)),
                     pndaspect=self.pndaspect,
                     hi_min=self.hi_min_pond, dpscale=self.dpscale,
-                    frzpnd=self.frzpnd, ktherm=ktherm)
+                    frzpnd=self.frzpnd, ktherm=ktherm,
+                    meltsliq=pond_smliq)
                 at2["pondArea"], at2["pondDepth"] = apnd_n, hpnd_n
                 if "pondLidThickness" in at2:
                     at2["pondLidThickness"] = ipnd_n
             else:   # topo: collect water per category, level cell-wise
-                pond = rfrac / c.RHOFRESH * (
-                    tv.meltt * c.RHOI + tv.melts * c.RHOS +
-                    pc(atm.rain_rate) * dt)
+                if pond_smliq is None:
+                    pond_src = (tv.meltt * c.RHOI + tv.melts * c.RHOS +
+                                pc(atm.rain_rate) * dt)
+                else:
+                    pond_src = tv.meltt * c.RHOI + pond_smliq
+                pond = rfrac / c.RHOFRESH * pond_src
                 apnd_t = at2["pondArea"]
                 hpnd_t = at2["pondDepth"]
                 new_pond = apnd_t < c.PUNY
@@ -715,6 +734,12 @@ class ColumnPhysics:
                                       st2)
         fresh = fresh + dfresh_z / dt
         fhocn = fhocn + dheat_z / dt
+
+        # pond freshwater feedback (reference coupling prep,
+        # mpas_seaice_column.F:4790-4797): pond-retained water is
+        # withheld from the ocean freshwater flux
+        if self.include_pond_freshwater_feedback:
+            fresh = fresh - fpond * c.RHOFRESH / dt
 
         fluxes = ColumnFluxes(
             fresh=fresh, fsalt=fsalt, fhocn=fhocn, fswthru=fswthru,

@@ -23,19 +23,28 @@ DPTHHI = 0.9         # max pond depth / ice thickness
 
 def compute_ponds_cesm(dt, rfrac, meltt, melts, frain,
                        aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
-                       pndaspect: float = PNDASPECT):
+                       pndaspect: float = PNDASPECT,
+                       meltsliq=None):
     """CESM melt ponds: retained meltwater volume grows ponds, cold
     surfaces contract them (reference compute_ponds_cesm,
     ice_meltpond_cesm.F90). All inputs [*B, nCat]; apnd is the pond
     fraction OF ICE AREA, hpnd the pond depth (m).
+
+    meltsliq (kg/m^2): when given (use_smliq_pnd,
+    config_use_snow_liquid_ponds), the drained snow-liquid mass
+    replaces the snow-melt + rain pond source
+    (ice_meltpond_cesm.F90:112-124).
     Returns (apnd, hpnd)."""
     has = aicen > c.PUNY
     safe_a = jnp.where(has, aicen, 1.0)
     hi = jnp.where(has, vicen / safe_a, 0.0)
 
     volpn = hpnd * apnd * aicen
-    volpn = volpn + (rfrac / c.RHOFRESH) * (
-        meltt * c.RHOI + melts * c.RHOS + frain * dt) * aicen
+    if meltsliq is None:
+        src = meltt * c.RHOI + melts * c.RHOS + frain * dt
+    else:
+        src = meltt * c.RHOI + meltsliq
+    volpn = volpn + (rfrac / c.RHOFRESH) * src * aicen
     Tp = c.TIMELT - TD
     dTs = jnp.maximum(Tp - Tsfcn, 0.0)
     volpn = jnp.maximum(volpn * jnp.exp(REXP * dTs / Tp), 0.0)
@@ -89,7 +98,8 @@ def compute_ponds_lvl(dt, rfrac, meltt, melts, frain, Tair, fsurfn,
                       hi_min: float = HI_MIN_POND,
                       dpscale: float = 1.0e-3,
                       frzpnd: str = "hlid",
-                      ktherm: int = 1):
+                      ktherm: int = 1,
+                      meltsliq=None):
     """Level-ice melt ponds (reference compute_ponds_lvl,
     ice_meltpond_lvl.F90:34-281). Ponds collect the retained fraction
     of top/snow melt and rain on the LEVEL fraction of each category;
@@ -118,10 +128,14 @@ def compute_ponds_lvl(dt, rfrac, meltt, melts, frain, Tair, fsurfn,
     volpn = hpnd * aicen * alvl * apnd
     apondn = apnd * alvl                   # pond fraction of ice area
 
-    # meltwater source (:158-166)
-    dvn = jnp.where(act, (rfrac / c.RHOFRESH) *
-                    (meltt * c.RHOI + melts * c.RHOS + frain * dt) *
-                    aicen, 0.0)
+    # meltwater source (:158-166); with use_smliq_pnd the drained
+    # snow-liquid mass replaces snow melt + rain
+    # (ice_meltpond_lvl.F90:45,158)
+    if meltsliq is None:
+        src = meltt * c.RHOI + melts * c.RHOS + frain * dt
+    else:
+        src = meltt * c.RHOI + meltsliq
+    dvn = jnp.where(act, (rfrac / c.RHOFRESH) * src * aicen, 0.0)
 
     ffrac = jnp.zeros_like(aicen)
     hlid = ipnd

@@ -150,6 +150,12 @@ class ColumnConfig:
     n_algae: int = 1
     n_bio_layers: int = 7           # nblyr (bio grid layers)
     solve_zsalinity: bool = False   # prognostic salinity (ktherm=1)
+    # snow liquid -> pond routing (config_use_snow_liquid_ponds,
+    # Registry.xml:1553; needs the snow mass/liquid tracers)
+    use_snow_liquid_ponds: bool = False
+    # withhold pond-retained water from the ocean freshwater flux
+    # (config_include_pond_freshwater_feedback, Registry.xml:551)
+    include_pond_freshwater_feedback: bool = False
     # pond parameters
     rfracmin: float = 0.15
     rfracmax: float = 0.85

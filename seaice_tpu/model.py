@@ -171,7 +171,10 @@ class SeaIceModel:
                 n_algae=col.n_algae,
                 n_bio_layers=col.n_bio_layers,
                 solve_zsalinity=col.solve_zsalinity,
-                calc_tsfc=col.calc_surface_temperature)
+                calc_tsfc=col.calc_surface_temperature,
+                use_snow_liquid_ponds=col.use_snow_liquid_ponds,
+                include_pond_freshwater_feedback=
+                col.include_pond_freshwater_feedback)
 
     # -- state ---------------------------------------------------------------
 

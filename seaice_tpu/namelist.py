@@ -295,8 +295,8 @@ _opt("forcing", "forcing_precipitation_units", "mm_per_sec",
 _opt("forcing", "forcing_sst_type", "ncar", "setup.forcing_sst_type",
      _enum({"ncar": "ncar"}, "config_forcing_sst_type"))
 _opt("forcing", "update_ocean_fluxes", False, "setup.update_ocean_fluxes")
-_un("forcing", "include_pond_freshwater_feedback", False,
-    "pond freshwater coupling feedback is not implemented")
+_opt("forcing", "include_pond_freshwater_feedback", False,
+     "column.include_pond_freshwater_feedback")
 
 # --- testing --------------------------------------------------------------------
 _un("testing", "use_test_ice_shelf", False,
@@ -584,8 +584,8 @@ for nm, dv in [("fallen_snow_radius", 54.4),
                ("wind_compaction_factor", 27.3),
                ("max_dry_snow_radius", 2800.0)]:
     _opt("snow", nm, dv, "column." + nm, float)
-_un("snow", "use_snow_liquid_ponds", False,
-    "snow liquid water routing to ponds is not implemented")
+_opt("snow", "use_snow_liquid_ponds", False,
+     "column.use_snow_liquid_ponds")
 
 # --- meltponds ---------------------------------------------------------------------------
 _opt("meltponds", "snow_to_ice_transition_depth", 0.0,
