@@ -314,6 +314,90 @@ def set_aerosol_optics(kaer, waer, gaer):
     GAER_TAB = np.asarray(gaer)
 
 
+# -- modal aerosol optics (config_use_modal_aerosols) ------------------------
+# BC optics binned by BC effective radius (10 bins) plus the
+# within-grain absorption enhancement factor binned additionally by
+# snow grain radius (8 bins): the SNICAR internal-mixing treatment
+# (Flanner et al. 2012; reference mixing code
+# ice_shortwave.F90:2390-2470 and :2556-2680, tables from the MPAS
+# optics input stream modalMassExtinctionCrossSection /
+# modalBCabsorptionParameter, Registry.xml:3954-3961).  The reference
+# repo does not carry the table DATA (it ships in the external optics
+# file), so the defaults below are provisional: the 100 nm column
+# reproduces the bulk BC optics, neighboring radius bins scale it
+# smoothly, and the enhancement grows with snow grain radius in the
+# Flanner 2012 range (1-2.2x).  Install exact file tables with
+# set_modal_aerosol_optics().
+_BC_BIN_SCALE = np.linspace(1.35, 0.45, 10)      # vs 100nm bin (idx 1)
+KAER_BC_TAB = KAER_TAB[:, :1] * _BC_BIN_SCALE[None, :]
+WAER_BC_TAB = np.clip(WAER_TAB[:, :1] *
+                      np.linspace(0.8, 1.6, 10)[None, :], 0.0, 0.98)
+GAER_BC_TAB = np.clip(GAER_TAB[:, :1] *
+                      np.linspace(0.85, 1.45, 10)[None, :], 0.0, 0.95)
+# bcenh[band, bc_bin, snow_grain_bin]
+BCENH_TAB = (1.0 + 1.2 * (np.arange(1, 9) / 8.0) ** 0.5)[None, None, :] \
+    * np.ones((3, 10, 1))
+
+
+def set_modal_aerosol_optics(kaer_bc, waer_bc, gaer_bc, bcenh):
+    """Install exact modal BC tables ([3, 10] x3 and [3, 10, 8]) read
+    from the optics input file."""
+    global KAER_BC_TAB, WAER_BC_TAB, GAER_BC_TAB, BCENH_TAB
+    KAER_BC_TAB = np.asarray(kaer_bc)
+    WAER_BC_TAB = np.asarray(waer_bc)
+    GAER_BC_TAB = np.asarray(gaer_bc)
+    BCENH_TAB = np.asarray(bcenh)
+
+
+def _snow_grain_bcenh_index(r_um):
+    """Snow-grain-radius bin for the BC enhancement table, 0-based
+    (reference ice_shortwave.F90:2395-2409: valid 25-1625 um; <125:
+    round(r/50); <175: 2; else round(r/250 + 2); clipped 1..8)."""
+    r = jnp.asarray(r_um)
+    idx = jnp.where(
+        r < 125.0, jnp.round(r / 50.0),
+        jnp.where(r < 175.0, 2.0, jnp.round(r / 250.0 + 2.0)))
+    return jnp.clip(idx, 1.0, 8.0).astype(jnp.int32) - 1
+
+
+_K_BC_RADIUS = 1   # fixed 100 nm BC effective radius (ref: index 2)
+
+
+def _mix_aerosol_modal(tau, w0, g, mp, band, kini):
+    """Modal-BC aerosol mixing for one layer (reference
+    ice_shortwave.F90:2562-2597): species 0 = interstitial BC
+    (radius-binned optics), species 1 = within-grain BC (extinction
+    enhanced by bcenh for the layer's snow grain bin, scattering
+    unenhanced), species >= 2 = dust via the bulk tables.
+    kini: [*B(mp.shape[:-1])] int32 snow-grain bin (0-based); ice
+    layers pass 7 (the largest bin)."""
+    dt = mp.dtype
+    kb = float(KAER_BC_TAB[band, _K_BC_RADIUS])
+    wb = float(WAER_BC_TAB[band, _K_BC_RADIUS])
+    gb = float(GAER_BC_TAB[band, _K_BC_RADIUS])
+    enh = jnp.asarray(BCENH_TAB[band, _K_BC_RADIUS], dt)[kini]
+    # interstitial BC
+    taer = mp[..., 0] * kb
+    waer = mp[..., 0] * kb * wb
+    gaer = mp[..., 0] * kb * wb * gb
+    # within-grain BC: enhanced extinction, unenhanced scattering
+    taer = taer + mp[..., 1] * kb * enh
+    waer = waer + mp[..., 1] * kb * wb
+    gaer = gaer + mp[..., 1] * kb * wb * gb
+    n_sp = mp.shape[-1]
+    if n_sp > 2:
+        k_t = jnp.asarray(KAER_TAB[band, 2:n_sp], dt)
+        w_t = jnp.asarray(WAER_TAB[band, 2:n_sp], dt)
+        g_t = jnp.asarray(GAER_TAB[band, 2:n_sp], dt)
+        taer = taer + (mp[..., 2:] * k_t).sum(-1)
+        waer = waer + (mp[..., 2:] * k_t * w_t).sum(-1)
+        gaer = gaer + (mp[..., 2:] * k_t * w_t * g_t).sum(-1)
+    g_new = (g * w0 * tau + gaer) / jnp.maximum(w0 * tau + waer,
+                                                c.PUNY)
+    w_new = (w0 * tau + waer) / jnp.maximum(tau + taer, c.PUNY)
+    return tau + taer, w_new, jnp.where(taer > 0.0, g_new, g)
+
+
 def _mix_aerosol(tau, w0, g, mp, band):
     """Mix bulk-aerosol optics into one layer's (tau, w0, g)
     (reference ice_shortwave.F90:2556-2650): mp [*B, n_species] is the
@@ -339,7 +423,8 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
                    R_ice: float = 0.0, R_pnd: float = 0.0,
                    R_snw: float = 1.5, dT_mlt: float = 1.5,
                    rsnw_mlt: float = 1500.0, hs0: float = 0.0,
-                   kalg: float = KALG):
+                   kalg: float = KALG,
+                   modal_aero: bool = False):
     """Delta-Eddington albedos and absorbed-solar partition, with the
     ShortwaveResult interface of shortwave_ccsm3 (reference
     shortwave_dEdd :1187 + compute_dEdd :1674 assembly, run_dEdd
@@ -486,25 +571,42 @@ def shortwave_dedd(aicen, vicen, vsnon, Tsfcn, coszen,
             # snow SSL pool -> row 0, snow body /ns_l over the body
             # rows; ice SSL pool -> the ice SSL row, ice body /ni over
             # DL+interior
+            if modal_aero:
+                # per-row snow-grain bins for the within-grain BC
+                # enhancement; ice rows use the largest bin
+                # (reference :2410-2412)
+                kini_rows = [_snow_grain_bcenh_index(r_rows[k])
+                             for k in range(ns_l + 1)]
+                kini_ice = jnp.full(aicen.shape, 7, jnp.int32)
+
+                def mix(t, w, gg, mp, row):
+                    if row <= ns_l:
+                        return _mix_aerosol_modal(t, w, gg, mp, b,
+                                                  kini_rows[row])
+                    return _mix_aerosol_modal(t, w, gg, mp, b,
+                                              kini_ice)
+            else:
+                def mix(t, w, gg, mp, row):
+                    return _mix_aerosol(t, w, gg, mp, b)
             if aero_mp_snow is not None:
                 mps = jnp.where(snow_mask[..., None],
                                 aero_mp_snow[..., 0], 0.0)
                 mpb = jnp.where(snow_mask[..., None],
                                 aero_mp_snow[..., 1], 0.0) / ns_l
-                taus[0], w0s[0], gls[0] = _mix_aerosol(
-                    taus[0], w0s[0], gls[0], mps, b)
+                taus[0], w0s[0], gls[0] = mix(
+                    taus[0], w0s[0], gls[0], mps, 0)
                 for k in range(1, ns_l + 1):
-                    taus[k], w0s[k], gls[k] = _mix_aerosol(
-                        taus[k], w0s[k], gls[k], mpb, b)
+                    taus[k], w0s[k], gls[k] = mix(
+                        taus[k], w0s[k], gls[k], mpb, k)
             if aero_mp_ice is not None:
                 mpi_s = aero_mp_ice[..., 0]
                 mpi_b = aero_mp_ice[..., 1] / ni
                 taus[ns_l + 1], w0s[ns_l + 1], gls[ns_l + 1] = \
-                    _mix_aerosol(taus[ns_l + 1], w0s[ns_l + 1],
-                                 gls[ns_l + 1], mpi_s, b)
+                    mix(taus[ns_l + 1], w0s[ns_l + 1],
+                        gls[ns_l + 1], mpi_s, ns_l + 1)
                 for k in range(ns_l + 2, K):
-                    taus[k], w0s[k], gls[k] = _mix_aerosol(
-                        taus[k], w0s[k], gls[k], mpi_b, b)
+                    taus[k], w0s[k], gls[k] = mix(
+                        taus[k], w0s[k], gls[k], mpi_b, k)
 
             sol = solve_dedd_column(taus, w0s, gls, mu, kfrsnl,
                                     ALBOCN_DR[b], ALBOCN_DF[b])

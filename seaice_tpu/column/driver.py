@@ -185,7 +185,8 @@ class ColumnPhysics:
                  tunables=None,
                  calc_tsfc: bool = True,
                  use_snow_liquid_ponds: bool = False,
-                 include_pond_freshwater_feedback: bool = False):
+                 include_pond_freshwater_feedback: bool = False,
+                 use_modal_aerosols: bool = False):
         if ktherm not in (0, 1, 2):
             raise ValueError(f"unsupported ktherm={ktherm}")
         if not calc_tsfc and ktherm == 2:
@@ -257,6 +258,16 @@ class ColumnPhysics:
         self.use_snow_liquid_ponds = use_snow_liquid_ponds
         self.include_pond_freshwater_feedback = \
             include_pond_freshwater_feedback
+        if use_modal_aerosols and shortwave != "dEdd":
+            raise ValueError(
+                "config_use_modal_aerosols requires the dEdd "
+                "shortwave (reference modal_aero treatment lives in "
+                "shortwave_dEdd, ice_shortwave.F90:2390-2470)")
+        if use_modal_aerosols and n_aerosols < 2:
+            raise ValueError(
+                "config_use_modal_aerosols needs >= 2 aerosol "
+                "species (interstitial + within-grain BC)")
+        self.use_modal_aerosols = use_modal_aerosols
         self.use_brine_height = use_brine_height or use_biogeochemistry \
             or solve_zsalinity
         self.use_biogeochemistry = use_biogeochemistry
@@ -353,6 +364,8 @@ class ColumnPhysics:
                     kwargs[k] = tune[k]
             kwargs["hs0"] = self.tun.snow_to_ice_transition_depth
             kwargs["kalg"] = self.tun.algae_absorption_coefficient
+            if self.use_modal_aerosols:
+                kwargs["modal_aero"] = True
             return shortwave_dedd(aicen, vicen, vsnon, tsfc, coszen,
                                   swvdr, swvdf, swidr, swidf,
                                   self.ni, self.ns, **kwargs)

@@ -138,6 +138,9 @@ class ColumnConfig:
     use_ice_age: bool = False
     use_first_year_ice: bool = False
     n_aerosols: int = 0
+    # modal (SNICAR internal-mixing) BC optics in the dEdd shortwave
+    # (config_use_modal_aerosols, Registry.xml:833-837)
+    use_modal_aerosols: bool = False
     use_form_drag: bool = False     # Tsamados 2014 neutral drag
     highfreq: bool = False          # Roberts 2014 ice-relative winds
     tfrz_option: str = "minus1p8"   # ocean freezing temperature formula

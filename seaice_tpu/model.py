@@ -174,7 +174,8 @@ class SeaIceModel:
                 calc_tsfc=col.calc_surface_temperature,
                 use_snow_liquid_ponds=col.use_snow_liquid_ponds,
                 include_pond_freshwater_feedback=
-                col.include_pond_freshwater_feedback)
+                col.include_pond_freshwater_feedback,
+                use_modal_aerosols=col.use_modal_aerosols)
 
     # -- state ---------------------------------------------------------------
 

@@ -433,9 +433,8 @@ _opt("biogeochemistry", "use_nonreactive", False, "zbgc.use_PON")
 _opt("biogeochemistry", "use_humics", False, "zbgc.use_hum")
 _opt("biogeochemistry", "use_DON", False, "zbgc.use_DON")
 _opt("biogeochemistry", "use_iron", False, "zbgc.use_Fe")
-_un("biogeochemistry", "use_modal_aerosols", False,
-    "z-layer (bio-grid) aerosols are not implemented; bulk snow/ice "
-    "aerosols live in column/aerosol.py")
+_opt("biogeochemistry", "use_modal_aerosols", False,
+     "column.use_modal_aerosols")
 _un("biogeochemistry", "use_zaerosols", False,
     "see config_use_modal_aerosols")
 _opt("biogeochemistry", "skeletal_bgc_flux_type", "Jin2006",
