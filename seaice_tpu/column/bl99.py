@@ -174,7 +174,8 @@ def temperature_changes(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
     def one_iteration(carry):
         (Tsf, zTsn, zTin, Tsn_start, Tin_start_i, kh, dTsf_prev,
          fsurfn_p, fcondtopn_p, fcondbot_p, zqsn_p, zqin_p,
-         flw_p, fsens_p, flat_p, converged, niter) = carry
+         flw_p, fsens_p, flat_p, energy_ok_p, converged,
+         niter) = carry
 
         # specific heat from current + initial temps (energy-conserving)
         ci = c.CP_ICE - c.LFRESH * Tmlts / (
@@ -411,6 +412,7 @@ def temperature_changes(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
                 sel(zqsn_new, zqsn_p), sel(zqin_new, zqin_p),
                 sel(flwoutn, flw_p), sel(fsensn, fsens_p),
                 sel(flatn, flat_p),
+                sel(~cond5, energy_ok_p),
                 converged | conv, niter + 1)
 
     def cond_fn(carry):
@@ -422,10 +424,20 @@ def temperature_changes(dt, rhoa, flw, potT, Qa, shcoef, lhcoef,
             zeros, zeros, zeros, zeros,
             jnp.zeros_like(zqsn), jnp.zeros_like(zqin),
             zeros, zeros, zeros,
+            jnp.zeros(Tsf.shape, bool),
             jnp.zeros(Tsf.shape, bool), jnp.array(1))
     out = jax.lax.while_loop(cond_fn, lambda s: one_iteration(s), init)
     (Tsf_f, zTsn_f, zTin_f, _, _, _, _, fsurf_f, fct_f, fcb_f,
-     zqsn_f, zqin_f, flwout_f, fsens_f, flat_f, conv_f, _) = out
+     zqsn_f, zqin_f, flwout_f, fsens_f, flat_f, eok_f, conv_f,
+     _) = out
+    if dtype == jnp.float32:
+        # f32 acceptance at NITERMAX: the Tsf-oscillation conditions
+        # (2, 3, 4) can chatter around TSF_ERRMAX=5e-4 K at the f32
+        # tridiagonal noise floor; a column whose ENERGY closure
+        # (condition 5) holds at the final iterate is physically
+        # converged.  Exact no-op in f64 (the only precision the
+        # reference runs).
+        conv_f = conv_f | eok_f
 
     return ThermoSolveResult(
         Tsf=Tsf_f, zTsn=zTsn_f, zTin=zTin_f, zqsn=zqsn_f, zqin=zqin_f,

@@ -268,6 +268,13 @@ class ColumnPhysics:
                 "config_use_modal_aerosols needs >= 2 aerosol "
                 "species (interstitial + within-grain BC)")
         self.use_modal_aerosols = use_modal_aerosols
+        if (zbgc_params is not None and
+                getattr(zbgc_params, "use_zaero", False) and
+                n_aerosols > 0):
+            raise ValueError(
+                "config_use_zaerosols and config_use_aerosols are "
+                "mutually exclusive (reference config check: bulk and "
+                "z-layer aerosols cannot both be active)")
         self.use_brine_height = use_brine_height or use_biogeochemistry \
             or solve_zsalinity
         self.use_biogeochemistry = use_biogeochemistry
@@ -336,6 +343,40 @@ class ColumnPhysics:
                     kwargs = dict(apnd=fpond, hpnd=hpnd)
             if self.use_snow_tracers and "snowGrainRadius" in tracers:
                 kwargs["rsnw"] = tracers["snowGrainRadius"]
+            if self.zbgc_params is not None and \
+                    self.zbgc_params.use_zaero and \
+                    "bioTracers" in tracers and \
+                    "brineHeight" in tracers:
+                # z-layer aerosols into the shortwave (reference
+                # dEdd_algae zbio path, ice_shortwave.F90:2432-2470):
+                # the vertically-resolved aerosol mass collapses onto
+                # the dEdd SSL/body pools — mass path = brine
+                # concentration x layer brine depth (porosity folded
+                # at ~1, the reference's fully-flooded limit).
+                # Species order (BC1, BC2, dust...) matches the
+                # modal/bulk table order.
+                pz = self.zbgc_params
+                nbl1 = self.n_bio_layers + 1
+                zsl = pz.index()["zaero"]
+                bio = tracers["bioTracers"]
+                Cz = bio.reshape(bio.shape[:-1] +
+                                 (pz.n_bio, nbl1))[..., zsl, :]
+                safe_a = jnp.where(aicen > 1e-11, aicen, 1.0)
+                hi_cat = jnp.where(aicen > 1e-11,
+                                   vicen / safe_a, 0.0)
+                hbr = tracers["brineHeight"] * hi_cat
+                zw = np.full(nbl1, 1.0 / self.n_bio_layers)
+                zw[0] *= 0.5
+                zw[-1] *= 0.5
+                zwj = jnp.asarray(zw, bio.dtype)
+                # SSL pool = top bio layer, body = the rest
+                mp_ssl = Cz[..., 0] * (hbr * zwj[0])[..., None]
+                mp_body = (Cz[..., 1:] * zwj[1:]).sum(-1) * \
+                    hbr[..., None]
+                kwargs["aero_mp_ice"] = jnp.stack(
+                    [mp_ssl, mp_body], axis=-1)
+                if self.use_modal_aerosols:
+                    kwargs["modal_aero"] = True
             if self.n_aerosols and "snowScatteringAerosol" in tracers:
                 # bulk aerosol mass paths (reference aero_mp
                 # :1417-1428): per-volume tracers * snow/ice volume
@@ -666,7 +707,8 @@ class ColumnPhysics:
         if self.use_brine_height and "brineHeight" in at2:
             (at2, it2, bgc_diags) = self.step_biogeochemistry(
                 dt, aicen2, vicen2, vsnon2, aicen_init, vicen_init,
-                at2, it2, tv, sw.fswthru, pc(Tbot), ocn)
+                at2, it2, tv, sw.fswthru, pc(Tbot), ocn,
+                faero_atm=faero_atm)
         if self.use_skeletal_bgc and "sklBgc" in it2:
             # skeletal (bottom ~3 cm) biogeochemistry (reference
             # ice_algae.F90 skl_biogeochemistry, dispatched by
@@ -785,7 +827,8 @@ class ColumnPhysics:
 
     def step_biogeochemistry(self, dt, aicen, vicen, vsnon,
                              aicen_init, vicen_init, at2, it2, tv,
-                             fswthru, Tbot, ocn: OceanForcing):
+                             fswthru, Tbot, ocn: OceanForcing,
+                             faero_atm=None):
         """Brine-height dynamics + optional vertical salinity and
         z-tracer biogeochemistry, per category.  Mirrors the reference
         per-category flow: preflushing_changes -> compute_microS_mushy
@@ -865,10 +908,24 @@ class ColumnPhysics:
             frac = it2.get("bioMobileFraction")
             if frac is not None:
                 frac = jnp.where(fresh_ice[..., None], 1.0, frac)
+            flux_atm = None
+            if p.use_zaero and faero_atm is not None:
+                # aerosol deposition into the top brine layer
+                # (kg/m^2/s; the reference's zbgc snow pools are
+                # subsumed by direct-to-brine deposition here)
+                zsl = p.index()["zaero"]
+                nz = min(zsl.stop - zsl.start,
+                         faero_atm.shape[-1])
+                zsl = slice(zsl.start, zsl.start + nz)
+                dep = faero_atm[..., None, :nz] * \
+                    jnp.ones_like(aicen)[..., None]
+                flux_atm = jnp.zeros(
+                    aicen.shape + (p.n_bio,), bio.dtype)
+                flux_atm = flux_atm.at[..., zsl].set(dep)
             zr = zbgc_transport_react(
                 dt, Cb, ms.iphin, ms.iDin, hb.darcy_v, hb.hbr,
                 pf.hbr_old, pf.dhbr_bot, fswthru, Tbot, ocean_bio, p,
-                frac=frac)
+                frac=frac, flux_bio_atm=flux_atm)
             if frac is not None and zr.frac_new is not None:
                 it2["bioMobileFraction"] = jnp.where(
                     has[..., None], zr.frac_new, 1.0)

@@ -108,6 +108,11 @@ class ZbgcParams:
     use_DMS: bool = False
     use_PON: bool = False
     use_hum: bool = False           # refractory humic carbon
+    # z-layer aerosols (config_use_zaerosols, Registry.xml:838-842):
+    # passive vertically-resolved aerosol tracers carried on the bio
+    # grid with their own mobility types, no reactions
+    use_zaero: bool = False
+    n_zaero: int = 3                # BC1, BC2, dust bins
     n_doc: int = 2                  # polysaccharids, lipids
     # per-species (length >= n_algae; reference vectors)
     mu_max: tuple = _MU_MAX
@@ -196,6 +201,8 @@ class ZbgcParams:
     mobility_type_dust2: float = 0.0
     mobility_type_dust3: float = 0.0
     mobility_type_dust4: float = 0.0
+    mobility_type_dust3: float = 0.0
+    mobility_type_dust4: float = 0.0
     rapid_mobile_to_stationary_time: float = 3600.0    # s
     long_mobile_to_stationary_time: float = 604800.0   # s
 
@@ -224,6 +231,8 @@ class ZbgcParams:
             r.append(("PON", 1))
         if self.use_hum:
             r.append(("hum", 1))
+        if self.use_zaero:
+            r.append(("zaero", self.n_zaero))
         return r
 
     def index(self) -> Dict[str, slice]:
@@ -249,6 +258,8 @@ class ZbgcParams:
                 vals += list(self.ocean_N[:self.n_algae])
             elif name == "DOC":
                 vals += list(self.ocean_DOC[:n])
+            elif name == "zaero":
+                vals += [0.0] * n     # the ocean is an aerosol sink
             else:
                 vals.append(getattr(self, "ocean_" + name))
         return jnp.asarray(vals, dtype)
@@ -287,6 +298,13 @@ class ZbgcParams:
                 out.append(self.mobility_type_nitrate)
             elif name == "hum":
                 out.append(self.mobility_type_humics)
+            elif name == "zaero":
+                out += [self.mobility_type_black_carbon1,
+                        self.mobility_type_black_carbon2,
+                        self.mobility_type_dust1,
+                        self.mobility_type_dust2,
+                        self.mobility_type_dust3,
+                        self.mobility_type_dust4][:n]
         return np.asarray(out)
 
     def phase_timescales(self):
@@ -530,6 +548,11 @@ def algal_reactions(dt, C_brine, fswpen, T_bot,
         # refractory humics: transported + ocean-exchanged only (the
         # reference's algal_dyn assigns hum no reaction term)
         parts.append(jnp.zeros_like(dNit)[..., None])
+    if p.use_zaero:
+        # z-aerosols are chemically inert (reference nlt_zaero
+        # 'non-reacting layer aerosols', ice_colpkg_tracers.F90:112)
+        parts.append(jnp.zeros_like(dNit)[..., None] *
+                     jnp.ones((p.n_zaero,), dNit.dtype))
     react = jnp.concatenate(parts, axis=-1)
 
     # carbon budget residual (reference Cerror / conserve_C gate)

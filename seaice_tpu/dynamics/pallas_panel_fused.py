@@ -113,7 +113,8 @@ def _apply_strip_stores(values: List, store, runs: List[StripRun],
                     C = piece if C is None else C + piece
                 T = jax.lax.dot_general(
                     C, M, (((0,), (0,)), ((), ())),
-                    preferred_element_type=C.dtype)        # [K, n]
+                    preferred_element_type=C.dtype,
+                    precision=jax.lax.Precision.HIGHEST)   # [K, n]
                 for k, r in enumerate(rs):
                     dr = _row_of(N, r.dst_panel, r.dst_fixed)
                     store(r.dst_plane, "row", dr, r.dst_lo,
@@ -130,7 +131,8 @@ def _apply_strip_stores(values: List, store, runs: List[StripRun],
                     R = piece if R is None else R + piece
                 Ct = jax.lax.dot_general(
                     M, R, (((1,), (1,)), ((), ())),
-                    preferred_element_type=R.dtype)        # [n, K]
+                    preferred_element_type=R.dtype,
+                    precision=jax.lax.Precision.HIGHEST)   # [n, K]
                 for k, r in enumerate(rs):
                     r0 = _row_of(N, r.dst_panel, r.dst_lo)
                     store(r.dst_plane, "col", r0, r.dst_fixed,

@@ -80,7 +80,14 @@ class SeaIceModel:
                 col = cfg.column
                 n_bio = col.n_bio_tracers
                 if col.use_biogeochemistry and not n_bio:
-                    n_bio = (col.n_algae + 3) * (col.n_bio_layers + 1)
+                    if col.zbgc_params is not None:
+                        # size from the actual roster (use_C/DON/Fe/
+                        # DMS/PON/hum/zaero extend it)
+                        n_bio = col.zbgc_params.n_bio * \
+                            (col.n_bio_layers + 1)
+                    else:
+                        n_bio = (col.n_algae + 3) * \
+                            (col.n_bio_layers + 1)
                 tracer_tree = standard_tracer_tree(
                     n_ice_layers=cfg.run.n_ice_layers,
                     n_snow_layers=cfg.run.n_snow_layers,

@@ -435,8 +435,7 @@ _opt("biogeochemistry", "use_DON", False, "zbgc.use_DON")
 _opt("biogeochemistry", "use_iron", False, "zbgc.use_Fe")
 _opt("biogeochemistry", "use_modal_aerosols", False,
      "column.use_modal_aerosols")
-_un("biogeochemistry", "use_zaerosols", False,
-    "see config_use_modal_aerosols")
+_opt("biogeochemistry", "use_zaerosols", False, "zbgc.use_zaero")
 _opt("biogeochemistry", "skeletal_bgc_flux_type", "Jin2006",
      "special.skl_flux_type",
      _enum({"Jin2006": "Jin2006"}, "config_skeletal_bgc_flux_type"))

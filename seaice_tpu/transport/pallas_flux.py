@@ -122,16 +122,21 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
     F8 = 8 * L
     npdt = np.dtype(jnp.dtype(dtype).name)
 
-    selm0 = np.zeros((Mw, F8), npdt)
+    assert Mw <= 128, "monomial term count exceeds one lane tile"
+    # monomial -> column expansion as an exact lane shuffle: out[b, f]
+    # = wa[b, col_mono[f]] (masked 0 for 3D blocks / padding).  A 0/1
+    # matmul here would either bf16-truncate wa (DEFAULT precision)
+    # or cost 6 MXU passes (HIGHEST); the shuffle is exact at any
+    # dtype and runs on the VPU.
+    mono_idx = np.zeros((1, F8), np.int32)
+    mono_mask = np.zeros((1, F8), npdt)
     for f, m in enumerate(plan["col_mono"]):
         if m >= 0:
-            selm0[m, f] = 1.0
+            mono_idx[0, f] = m
+            mono_mask[0, f] = 1.0
     sel2d = np.zeros((F8, T2), npdt)
     for f, t in plan["sel2d_rows"]:
         sel2d[f, t] = 1.0
-    fold = np.zeros((K, B), npdt)
-    for k in range(K):
-        fold[k, k * S:(k + 1) * S] = 1.0
 
     mats3d = []
     for (name, nCat, nL, o, t3o) in plan["specs3d"]:
@@ -140,15 +145,16 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
         Mp = len(pkeys)
         poff = plan["block_off"][spec.parent]
         CP = nCat * Mp
-        m0 = np.zeros((Mw, CP), npdt)
-        mx = np.zeros((Mw, CP), npdt)
-        my = np.zeros((Mw, CP), npdt)
+        assert CP <= 128
+        w0i = np.zeros((1, 128), np.int32)
+        wxi = np.zeros((1, 128), np.int32)
+        wyi = np.zeros((1, 128), np.int32)
         for cc in range(nCat):
             for j, k in enumerate(pkeys):
                 col = cc * Mp + j
-                m0[term_idx[k], col] = 1.0
-                mx[term_idx[(k[0] + 1, k[1])], col] = 1.0
-                my[term_idx[(k[0], k[1] + 1)], col] = 1.0
+                w0i[0, col] = term_idx[k]
+                wxi[0, col] = term_idx[(k[0] + 1, k[1])]
+                wyi[0, col] = term_idx[(k[0], k[1] + 1)]
         selp = np.zeros((CP, nCat), npdt)
         for cc in range(nCat):
             selp[cc * Mp:(cc + 1) * Mp, cc] = 1.0
@@ -157,12 +163,13 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
             rep[cc, cc * nL:(cc + 1) * nL] = 1.0
         F3 = nCat * nL
         mats3d.append(dict(F3=F3, t3_off=t3o, col_off=o, poff=poff,
-                           CP=CP, mats=[m0, mx, my, selp, rep]))
+                           CP=CP, mats=[w0i, wxi, wyi, selp, rep]))
     N_MATS3 = 5
 
     pet = dtype
 
-    def kernel(g_ref, wa_ref, selm0_ref, sel2d_ref, fold_ref, *refs):
+    def kernel(g_ref, wa_ref, mono_idx_ref, mono_mask_ref, sel2d_ref,
+               *refs):
         n3 = len(mats3d)
         m3_refs = refs[:N_MATS3 * n3]
         out2d_ref = refs[N_MATS3 * n3]
@@ -171,37 +178,56 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
         g = jnp.concatenate([g_ref[:, s, :] for s in range(8)],
                             axis=-1)
         wa = wa_ref[:]                                   # [B, Mw]
-        wa_exp = jnp.dot(wa, selm0_ref[:],
-                         preferred_element_type=pet)     # [B, F8]
+        wa128 = jnp.concatenate(
+            [wa, jnp.zeros((B, 128 - Mw), pet)], axis=1) \
+            if Mw < 128 else wa
+
+        def lane_gather(idx_row):
+            # idx_row [1, 128] i32 -> [B, 128] lane shuffle of wa
+            idxb = jnp.broadcast_to(idx_row, (B, 128))
+            return jnp.take_along_axis(wa128, idxb, axis=1)
+
+        wa_exp = jnp.concatenate(
+            [lane_gather(mono_idx_ref[:, c * 128:(c + 1) * 128])
+             for c in range(F8 // 128)], axis=1) * mono_mask_ref[:]
         P = g * wa_exp
-        Pf = jnp.dot(fold_ref[:], P,
-                     preferred_element_type=pet)         # [K, F8]
+        # the slot fold (sum of S consecutive rows per edge) as a
+        # sublane-reshape reduction — exact, VPU
+        Pf = P.reshape(K, S, F8).sum(axis=1)             # [K, F8]
+        # genuinely contracting 0/1 reductions stay on the MXU at
+        # HIGHEST (f32-exact selection; tiny output dims)
         out2d_ref[:] = jnp.dot(Pf, sel2d_ref[:],
-                               preferred_element_type=pet)
+                               preferred_element_type=pet,
+                               precision=jax.lax.Precision.HIGHEST)
         for i3, m in enumerate(mats3d):
-            (m0_ref, mx_ref, my_ref, selp_ref, rep_ref) = \
+            (w0i_ref, wxi_ref, wyi_ref, selp_ref, rep_ref) = \
                 m3_refs[N_MATS3 * i3:N_MATS3 * (i3 + 1)]
             po, CP, o, F3 = m["poff"], m["CP"], m["col_off"], m["F3"]
             gpar = g[:, po:po + CP]                      # [B, CP] slice
-            w0 = jnp.dot(wa, m0_ref[:], preferred_element_type=pet)
-            wx = jnp.dot(wa, mx_ref[:], preferred_element_type=pet)
-            wy = jnp.dot(wa, my_ref[:], preferred_element_type=pet)
+            w0 = lane_gather(w0i_ref[:])[:, :CP]
+            wx = lane_gather(wxi_ref[:])[:, :CP]
+            wy = lane_gather(wyi_ref[:])[:, :CP]
             P0 = jnp.dot(gpar * w0, selp_ref[:],
-                         preferred_element_type=pet)     # [B, nCat]
+                         preferred_element_type=pet,
+                         precision=jax.lax.Precision.HIGHEST)
             Px = jnp.dot(gpar * wx, selp_ref[:],
-                         preferred_element_type=pet)
+                         preferred_element_type=pet,
+                         precision=jax.lax.Precision.HIGHEST)
             Py = jnp.dot(gpar * wy, selp_ref[:],
-                         preferred_element_type=pet)
+                         preferred_element_type=pet,
+                         precision=jax.lax.Precision.HIGHEST)
             c3 = g[:, o:o + F3]                          # slices
             gx3 = g[:, o + F3:o + 2 * F3]
             gy3 = g[:, o + 2 * F3:o + 3 * F3]
-            P0r = jnp.dot(P0, rep_ref[:], preferred_element_type=pet)
-            Pxr = jnp.dot(Px, rep_ref[:], preferred_element_type=pet)
-            Pyr = jnp.dot(Py, rep_ref[:], preferred_element_type=pet)
+            P0r = jnp.dot(P0, rep_ref[:], preferred_element_type=pet,
+                          precision=jax.lax.Precision.HIGHEST)
+            Pxr = jnp.dot(Px, rep_ref[:], preferred_element_type=pet,
+                          precision=jax.lax.Precision.HIGHEST)
+            Pyr = jnp.dot(Py, rep_ref[:], preferred_element_type=pet,
+                          precision=jax.lax.Precision.HIGHEST)
             integ = c3 * P0r + gx3 * Pxr + gy3 * Pyr     # [B, F3]
             out3d_ref[:, m["t3_off"]:m["t3_off"] + m["F3"]] = \
-                jnp.dot(fold_ref[:], integ,
-                        preferred_element_type=pet)
+                integ.reshape(K, S, F3).sum(axis=1)
 
     def const_spec(shape):
         nd = len(shape)
@@ -213,10 +239,11 @@ def _build_kernel(plan, tree, term_idx, S, K, Mw, dtype, interpret):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((B, Mw), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        const_spec((Mw, F8)), const_spec((F8, T2)), const_spec((K, B)),
+        const_spec((1, F8)), const_spec((1, F8)),
+        const_spec((F8, T2)),
     ]
-    mat_args = [jnp.asarray(selm0), jnp.asarray(sel2d),
-                jnp.asarray(fold)]
+    mat_args = [jnp.asarray(mono_idx), jnp.asarray(mono_mask),
+                jnp.asarray(sel2d)]
     for m in mats3d:
         for a in m["mats"]:
             in_specs.append(const_spec(a.shape))
