@@ -165,6 +165,44 @@ def main():
         chained(post, dict(state.tracers)) * 1e3, 2)
     print("post_dynamics_ms", out["post_dynamics_ms"], flush=True)
 
+    # -- Rothrock strength alone (kept live through the carry so the
+    #    scan cannot hoist it) --
+    def strength(tr):
+        p = column.ice_strength(tr)
+        tr2 = dict(tr)
+        tr2["iceAreaCategory"] = jnp.where(
+            p[..., None] > 1e30, p[..., None], tr["iceAreaCategory"])
+        return tr2
+
+    out["strength_ms"] = round(
+        chained(strength, dict(state.tracers)) * 1e3, 2)
+    print("strength_ms", out["strength_ms"], flush=True)
+
+    # -- the dynamics sub-loop EXACTLY as the model composes it
+    #    (strength -> velocity -> remap -> ridging, state threaded) —
+    #    step_ms - therm - post - dyn_subloop = residual glue --
+    def dynloop(carry):
+        v, tr = carry
+        pressure = column.ice_strength(tr)
+        v2, diags = solver(tensors.dynamics, v, dyn,
+                           tr["iceAreaCategory"],
+                           tr["iceVolumeCategory"],
+                           tr["snowVolumeCategory"],
+                           pressure_in=pressure)
+        tr2 = remap_step(tensors.remap, tensors.mesh.cells_on_cell,
+                         tensors.mesh.cells_on_cell_mask,
+                         tensors.area_cell, tr, v2.u_velocity,
+                         v2.v_velocity, cfg.dynamics_timestep)
+        tr3, _ = column.step_ridging(cfg.dynamics_timestep, tr2,
+                                     diags["ridge_convergence"],
+                                     diags["ridge_shear"])
+        return (v2, tr3)
+
+    out["dyn_subloop_ms"] = round(
+        chained(dynloop, (state.velocity, dict(state.tracers)))
+        * 1e3, 2)
+    print("dyn_subloop_ms", out["dyn_subloop_ms"], flush=True)
+
     print(json.dumps(out))
 
 

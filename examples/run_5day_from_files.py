@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--no-pallas-flux", action="store_true",
                     help="force the XLA IR flux integration (disable "
                     "the fused Pallas flux kernel)")
+    ap.add_argument("--save-final", default=None,
+                    help="write the final prognostic state to this "
+                    ".npz (for precision/trajectory comparisons)")
     args = ap.parse_args()
 
     import jax
@@ -206,6 +209,13 @@ def main():
           f"{(v*mesh.area_cell).sum()/1e12:.2f} thousand km^3, "
           f"max|u| {np.abs(u).max():.3f} m/s")
     assert np.isfinite(a).all() and np.abs(u).max() < 1.5
+    if args.save_final:
+        np.savez(args.save_final,
+                 u_velocity=np.asarray(state.velocity.u_velocity),
+                 v_velocity=np.asarray(state.velocity.v_velocity),
+                 **{k: np.asarray(v_)
+                    for k, v_ in state.tracers.items()})
+        print(f"final state -> {args.save_final}")
 
     if args.verify_restart:
         state_r, meta = load_checkpoint(ckpt)

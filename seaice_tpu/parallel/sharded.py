@@ -716,3 +716,37 @@ def dryrun(n_devices: int) -> None:
                   day_of_year=jnp.asarray(265.0, jnp.float32),
                   lat=lat_l, faero_atm=faero_l)
     jax.block_until_ready(out.velocity.u_velocity)
+
+    # second pass: the SHARDED FUSED velocity path (one Pallas kernel
+    # launch per subcycle, vertex halo exchange in plan coordinates
+    # between launches — interpret mode on the virtual CPU devices;
+    # VERDICT round-4 item 2)
+    import dataclasses as _dc
+    cfg_f = _dc.replace(cfg, velocity=_dc.replace(
+        cfg.velocity, elastic_subcycle_number=4,
+        use_fused_unstructured=True, use_pallas_subcycle=False))
+    mesh_f = box.box_test_mesh(16, 16)
+    mesh_f.f_vertex = box.box_coriolis_parameter(mesh_f)
+    model_f = ShardedSeaIceModel(mesh_f, cfg_f, n_devices,
+                                 dtype=jnp.float32)
+    if not model_f.use_fused_unstructured:
+        raise RuntimeError("sharded fused path did not engage")
+    (area_f, vol_f, snow_f, extra_f, atm_f, ocn_f,
+     cz_f) = full_physics_inputs(mesh_f, cfg_f, jnp.float32)
+    state_f = model_f.init_state(area_f, vol_f, snow_f)
+    tr_f = dict(state_f.tracers)
+    for k, v in extra_f.items():
+        tr_f[k] = jnp.asarray(model_f.part.scatter_cell_field(
+            np.asarray(v, np.float32)))
+    state_f = pt_replace(state_f, tracers=tr_f)
+    forcing_f = model_f.scatter_forcing(
+        lambda m: box.box_forcing(m, t=0.0, dtype=jnp.float32))
+    atm_fl = model_f.scatter_cell_tree(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), atm_f))
+    ocn_fl = model_f.scatter_cell_tree(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), ocn_f))
+    cz_fl = model_f.scatter_cell_tree(jnp.asarray(cz_f, jnp.float32))
+    step_f = model_f.make_step()
+    out_f, _ = step_f(model_f.tensors, model_f.halo, state_f,
+                      forcing_f, atm_fl, ocn_fl, cz_fl)
+    jax.block_until_ready(out_f.velocity.u_velocity)

@@ -730,6 +730,32 @@ def update_mass_and_tracers(tree: TracerTree, fields, fluxes,
                 pp = jnp.expand_dims(pp, -1)
             val = jnp.where(pp > 0.0, new_prod / jnp.where(
                 pp == 0, 1.0, pp), 0.0)
+            # monotone-recovery guard: in exact arithmetic the
+            # recovered tracer of a consistent product/mass flux pair
+            # is bounded by the pre-remap tracer range; for SLIVER
+            # masses (new parent mass < 1e-8, i.e. tiny-product /
+            # tiny-mass near-cancellation) the ratio can be roundoff
+            # junk (observed: Tsfc = +55 C, positive ice enthalpies in
+            # a 1.4e-11-area category, which then wedges the BL99
+            # solve).  Clamp ONLY such slivers to the global
+            # pre-remap range over physically-meaningful cells
+            # (parent mass > eps11 — the reference's make_masks
+            # exclusive threshold, :3024-3028); an exact no-op for
+            # every in-bounds value, so conservation is untouched
+            # except for the junk being repaired.
+            old = fields[spec.name]
+            pm_old = products[spec.parent]
+            if old.ndim > pm_old.ndim:
+                pm_old = jnp.expand_dims(pm_old, -1)
+            meaningful = pm_old > 1e-11
+            big = jnp.asarray(1e30, val.dtype)
+            lo = jnp.min(jnp.where(meaningful, old, big), axis=0)
+            hi = jnp.max(jnp.where(meaningful, old, -big), axis=0)
+            none_valid = lo > hi
+            lo = jnp.where(none_valid, 0.0, lo)
+            hi = jnp.where(none_valid, 0.0, hi)
+            tiny = pp < 1e-8
+            val = jnp.where(tiny, jnp.clip(val, lo, hi), val)
             new_fields[spec.name] = val
             new_products[spec.name] = pp * val
     return new_fields
