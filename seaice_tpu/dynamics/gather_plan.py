@@ -39,8 +39,12 @@ import jax.numpy as jnp
 from ..utils.pytree import static_aux_pytree_dataclass
 
 LANES = 128
-CG = 4      # cell chunks per group   -> [CG*8, 128] tiles
-VG = 8      # vertex rows per group   -> [VG*8, 128] tiles
+# group sizes: bigger groups amortize Mosaic's per-op shuffle overhead
+# (fewer window rows in total) at the cost of wider tiles per row;
+# tunable for experiments via env
+import os as _os
+CG = int(_os.environ.get("SEAICE_UNSTRUCTURED_CG", "4"))
+VG = int(_os.environ.get("SEAICE_UNSTRUCTURED_VG", "8"))
 
 
 class PlanMeta:
@@ -48,7 +52,9 @@ class PlanMeta:
     as pytree aux_data so jit caches on it)."""
 
     def __init__(self, nc, nv, me, vd, nchunk, ngc, ngv, kmax, kvmax,
-                 r_v):
+                 r_v, cg=None, vg=None):
+        self.cg = CG if cg is None else cg
+        self.vg = VG if vg is None else vg
         self.nc = nc
         self.nv = nv
         self.me = me
@@ -62,7 +68,8 @@ class PlanMeta:
 
     def _key(self):
         return (self.nc, self.nv, self.me, self.vd, self.nchunk,
-                self.ngc, self.ngv, self.kmax, self.kvmax, self.r_v)
+                self.ngc, self.ngv, self.kmax, self.kvmax, self.r_v,
+                self.cg, self.vg)
 
     def __eq__(self, other):
         return isinstance(other, PlanMeta) and \

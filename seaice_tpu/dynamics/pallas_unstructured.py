@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as c
-from .gather_plan import UnstructuredPlan, LANES, CG, VG
+from .gather_plan import UnstructuredPlan, LANES
 
 
 def build_unstructured_solver(plan: UnstructuredPlan, *,
@@ -67,6 +67,7 @@ def build_unstructured_solver(plan: UnstructuredPlan, *,
     m = plan.meta
     me, vd = m.me, m.vd
     NCHUNK, NGC, NGV, R_V = m.nchunk, m.ngc, m.ngv, m.r_v
+    CG, VG = m.cg, m.vg
     n_sub = int(n_subcycles)
 
     dte = float(dt_elastic)
